@@ -1,0 +1,393 @@
+// needle-tpu native ingest: FFmpeg-based probe/decode/resample host layer.
+//
+// Replaces the reference's ffmpeg-next usage (needle/src/audio/analyzer.rs,
+// needle/src/util.rs, needle/src/audio/util.rs) with a thin C ABI consumed
+// from Python via ctypes. The decode loop reproduces the reference's exact
+// packet semantics so fingerprints match:
+//   * best audio stream via av_find_best_stream        (audio/util.rs:43-50)
+//   * skip packets with pts <= 0                        (analyzer.rs:221-226)
+//   * stop once pts >= end timestamp (in stream tb)     (analyzer.rs:196-216)
+//   * resample every decoded frame to S16 interleaved stereo at the target
+//     rate with swresample, rebuilding the resampler on input change
+//     (analyzer.rs:231-255)
+//   * mid-stream flush only when swr delay >= 1 second  (ffmpeg-next's
+//     Context::delay() uses swr_get_delay(ctx, 1); analyzer.rs:277-282)
+//   * no decoder drain / no resampler flush at EOF (the reference never
+//     sends EOF to the codec nor flushes swr)
+//   * seek via avformat_seek_file(ctx, -1, min, ts, max, 0) with timestamps
+//     computed the way audio/util.rs:18-41 does (bug-compatible: the values
+//     are in *stream* time-base units even though stream_index=-1)
+//
+// Build: see native/Makefile (links avformat/avcodec/avutil/swresample).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/avutil.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+}
+
+namespace {
+
+void set_err(char *err, int errcap, const std::string &msg) {
+    if (err && errcap > 0) {
+        std::snprintf(err, errcap, "%s", msg.c_str());
+    }
+}
+
+std::string av_err_str(int code) {
+    char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+    av_strerror(code, buf, sizeof(buf));
+    return std::string(buf);
+}
+
+struct Output {
+    std::vector<int16_t> samples;  // interleaved stereo
+};
+
+// Append the data of a converted S16 stereo frame.
+void append_frame(Output &out, const AVFrame *frame) {
+    const int16_t *data = reinterpret_cast<const int16_t *>(frame->data[0]);
+    int n = frame->nb_samples * 2;
+    out.samples.insert(out.samples.end(), data, data + n);
+}
+
+struct Resampler {
+    SwrContext *swr = nullptr;
+    int out_rate = 0;
+
+    ~Resampler() {
+        if (swr) swr_free(&swr);
+    }
+
+    int init_from(const AVChannelLayout *in_layout, AVSampleFormat in_fmt, int in_rate) {
+        if (swr) swr_free(&swr);
+        AVChannelLayout out_layout = AV_CHANNEL_LAYOUT_STEREO;
+        // FFmpeg 5.1's swr_alloc_set_opts2 takes non-const layout pointers.
+        int ret = swr_alloc_set_opts2(&swr, &out_layout, AV_SAMPLE_FMT_S16, out_rate,
+                                      const_cast<AVChannelLayout *>(in_layout), in_fmt,
+                                      in_rate, 0, nullptr);
+        if (ret < 0) return ret;
+        return swr_init(swr);
+    }
+
+    // Mirror of ffmpeg-next Context::run + the reference's flush loop.
+    // Returns 0 on success.
+    int convert_and_append(AVFrame *in, AVFrame *scratch, Output &out) {
+        av_frame_unref(scratch);
+        scratch->ch_layout = AV_CHANNEL_LAYOUT_STEREO;
+        scratch->format = AV_SAMPLE_FMT_S16;
+        scratch->sample_rate = out_rate;
+        int ret = swr_convert_frame(swr, scratch, in);
+        if (ret == AVERROR_INPUT_CHANGED || ret == AVERROR_OUTPUT_CHANGED) {
+            // analyzer.rs:235-252: rebuild a resampler from the frame itself.
+            ret = init_from(&in->ch_layout, (AVSampleFormat)in->format, in->sample_rate);
+            if (ret < 0) return ret;
+            av_frame_unref(scratch);
+            scratch->ch_layout = AV_CHANNEL_LAYOUT_STEREO;
+            scratch->format = AV_SAMPLE_FMT_S16;
+            scratch->sample_rate = out_rate;
+            ret = swr_convert_frame(swr, scratch, in);
+        }
+        if (ret < 0) return ret;
+        append_frame(out, scratch);
+        // ffmpeg-next Delay: swr_get_delay(ctx, 1) (seconds!) -> almost
+        // always 0; flush only in the >=1s-buffered edge case.
+        while (swr_get_delay(swr, 1) != 0) {
+            av_frame_unref(scratch);
+            scratch->ch_layout = AV_CHANNEL_LAYOUT_STEREO;
+            scratch->format = AV_SAMPLE_FMT_S16;
+            scratch->sample_rate = out_rate;
+            ret = swr_convert_frame(swr, scratch, nullptr);
+            if (ret < 0) return ret;
+            if (scratch->nb_samples <= 0) break;
+            append_frame(out, scratch);
+        }
+        return 0;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+unsigned ni_avutil_version(void) { return avutil_version(); }
+unsigned ni_avformat_version(void) { return avformat_version(); }
+unsigned ni_avcodec_version(void) { return avcodec_version(); }
+
+void ni_free(void *p) { free(p); }
+
+// Probe a container: count video and audio streams (util.rs:40-52).
+int ni_probe(const char *path, int *n_video, int *n_audio, char *err, int errcap) {
+    AVFormatContext *ctx = nullptr;
+    int ret = avformat_open_input(&ctx, path, nullptr, nullptr);
+    if (ret < 0) {
+        set_err(err, errcap, "open failed: " + av_err_str(ret));
+        return -1;
+    }
+    ret = avformat_find_stream_info(ctx, nullptr);
+    if (ret < 0) {
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "find_stream_info failed: " + av_err_str(ret));
+        return -1;
+    }
+    int nv = 0, na = 0;
+    for (unsigned i = 0; i < ctx->nb_streams; i++) {
+        AVMediaType t = ctx->streams[i]->codecpar->codec_type;
+        if (t == AVMEDIA_TYPE_VIDEO) nv++;
+        if (t == AVMEDIA_TYPE_AUDIO) na++;
+    }
+    *n_video = nv;
+    *n_audio = na;
+    avformat_close_input(&ctx);
+    return 0;
+}
+
+// Decode the best audio stream to S16 interleaved stereo at out_rate,
+// reproducing the reference's analyze packet loop. seek_to_secs < 0 means no
+// seek; duration_limit_secs < 0 means decode to EOF.
+//
+// Returns 0 on success. *out_samples is malloc'd (interleaved i16, stereo;
+// *out_n_samples = total i16 count); caller frees with ni_free.
+// *out_stream_duration_secs is the reference's notion of stream duration
+// (stream tb units preferred, else format duration / 1000 in stream tb;
+// analyzer.rs:362-374).
+int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit_secs,
+                    int out_rate, int threaded,
+                    int16_t **out_samples, int64_t *out_n_samples,
+                    double *out_stream_duration_secs,
+                    char *err, int errcap) {
+    AVFormatContext *ctx = nullptr;
+    int ret = avformat_open_input(&ctx, path, nullptr, nullptr);
+    if (ret < 0) {
+        set_err(err, errcap, "open failed: " + av_err_str(ret));
+        return -1;
+    }
+    ret = avformat_find_stream_info(ctx, nullptr);
+    if (ret < 0) {
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "find_stream_info failed: " + av_err_str(ret));
+        return -1;
+    }
+
+    int stream_idx = av_find_best_stream(ctx, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+    if (stream_idx < 0) {
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "unable to find an audio stream");
+        return -1;
+    }
+    AVStream *stream = ctx->streams[stream_idx];
+    double time_base = av_q2d(stream->time_base);
+
+    // Reference duration logic (analyzer.rs:362-374).
+    int64_t duration_raw;
+    if (stream->duration > 0) {
+        duration_raw = stream->duration;
+    } else if (ctx->duration > 0) {
+        duration_raw = ctx->duration / 1000;
+    } else {
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "no duration found in stream or format context");
+        return -1;
+    }
+    double stream_duration = (double)duration_raw * time_base;
+    if (out_stream_duration_secs) *out_stream_duration_secs = stream_duration;
+
+    // Decoder setup (analyzer.rs:18-52).
+    const AVCodec *codec = avcodec_find_decoder(stream->codecpar->codec_id);
+    if (!codec) {
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "no decoder for codec");
+        return -1;
+    }
+    AVCodecContext *dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(dec, stream->codecpar);
+    if (threaded) {
+        dec->thread_count = (int)std::thread::hardware_concurrency();
+        dec->thread_type = FF_THREAD_FRAME;
+    }
+    ret = avcodec_open2(dec, codec, nullptr);
+    if (ret < 0) {
+        avcodec_free_context(&dec);
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "decoder open failed: " + av_err_str(ret));
+        return -1;
+    }
+
+    // Resampler from decoder params (analyzer.rs:179-187).
+    Resampler resampler;
+    resampler.out_rate = out_rate;
+    ret = resampler.init_from(&dec->ch_layout, dec->sample_fmt, dec->sample_rate);
+    if (ret < 0) {
+        avcodec_free_context(&dec);
+        avformat_close_input(&ctx);
+        set_err(err, errcap, "swr init failed: " + av_err_str(ret));
+        return -1;
+    }
+
+    // Optional seek (audio/util.rs:18-41, bug-compatible).
+    if (seek_to_secs >= 0) {
+        double timestamp_ms = seek_to_secs * 1000.0;
+        double min_ms = timestamp_ms - 1000.0;
+        double max_ms = timestamp_ms + 1000.0;
+        double format_duration =
+            ((double)ctx->duration * time_base) / 1000.0;  // "ms" in ref math
+        if (!(max_ms / 1000.0 < format_duration)) {
+            // The reference asserts; we return a distinct error.
+            avcodec_free_context(&dec);
+            avformat_close_input(&ctx);
+            set_err(err, errcap, "timestamp must be less than the stream duration");
+            return -2;
+        }
+        // audio/util.rs:36-38: ms-count / time_base, cast to i64.
+        int64_t ts = (int64_t)(timestamp_ms / time_base);
+        int64_t min_ts = (int64_t)(min_ms / time_base);
+        int64_t max_ts = (int64_t)(max_ms / time_base);
+        // NOTE: ffmpeg-next Input::seek uses stream_index = -1.
+        ret = avformat_seek_file(ctx, -1, min_ts, ts, max_ts, 0);
+        if (ret < 0) {
+            avcodec_free_context(&dec);
+            avformat_close_input(&ctx);
+            set_err(err, errcap, "seek failed: " + av_err_str(ret));
+            return -1;
+        }
+    }
+
+    // End timestamp in stream tb units (analyzer.rs:196-199).
+    bool has_end = duration_limit_secs >= 0;
+    int64_t end_timestamp = 0;
+    if (has_end) {
+        double d = (seek_to_secs >= 0 ? seek_to_secs : 0.0) + duration_limit_secs;
+        end_timestamp = (int64_t)(d / time_base);
+    }
+
+    Output out;
+    out.samples.reserve(1 << 20);
+    AVPacket *pkt = av_packet_alloc();
+    AVFrame *frame = av_frame_alloc();
+    AVFrame *scratch = av_frame_alloc();
+    int rc = 0;
+    std::string err_msg;
+
+    while (av_read_frame(ctx, pkt) >= 0) {
+        if (pkt->stream_index != stream_idx) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        if (pkt->pts == AV_NOPTS_VALUE) {
+            // The reference unwraps pts and would panic; treat as error.
+            av_packet_unref(pkt);
+            rc = -1;
+            err_msg = "packet without pts";
+            break;
+        }
+        if (has_end && pkt->pts >= end_timestamp) {
+            av_packet_unref(pkt);
+            break;  // take_while(pts < end)
+        }
+        if (pkt->pts <= 0) {
+            av_packet_unref(pkt);
+            continue;  // analyzer.rs:221-226
+        }
+        ret = avcodec_send_packet(dec, pkt);
+        av_packet_unref(pkt);
+        if (ret < 0) {
+            rc = -1;
+            err_msg = "send_packet failed: " + av_err_str(ret);
+            break;
+        }
+        while (avcodec_receive_frame(dec, frame) >= 0) {
+            ret = resampler.convert_and_append(frame, scratch, out);
+            av_frame_unref(frame);
+            if (ret < 0) {
+                rc = -1;
+                err_msg = "resample failed: " + av_err_str(ret);
+                break;
+            }
+        }
+        if (rc != 0) break;
+    }
+    // NOTE: intentionally no avcodec EOF drain and no swr flush (reference
+    // behavior: remaining buffered audio is dropped; chromaprint_finish only
+    // flushes the fingerprinter's own FFT buffer).
+
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    av_frame_free(&scratch);
+    avcodec_free_context(&dec);
+    avformat_close_input(&ctx);
+
+    if (rc != 0) {
+        set_err(err, errcap, err_msg);
+        return rc;
+    }
+
+    int64_t n = (int64_t)out.samples.size();
+    int16_t *buf = (int16_t *)malloc(n ? n * sizeof(int16_t) : 2);
+    if (!buf) {
+        set_err(err, errcap, "out of memory");
+        return -1;
+    }
+    if (n) std::memcpy(buf, out.samples.data(), n * sizeof(int16_t));
+    *out_samples = buf;
+    *out_n_samples = n;
+    return 0;
+}
+
+// Resample arbitrary interleaved PCM to S16 interleaved stereo at out_rate.
+// in_fmt: 0 = s16, 1 = f32. Used for pre-decoded PCM inputs (e.g. 16 kHz
+// mono) so that the resample chain matches the reference's swresample path.
+int ni_resample_pcm(const void *in, int64_t n_in_frames, int in_rate, int in_channels,
+                    int in_fmt, int out_rate,
+                    int16_t **out_samples, int64_t *out_n_samples,
+                    char *err, int errcap) {
+    AVSampleFormat fmt = in_fmt == 0 ? AV_SAMPLE_FMT_S16 : AV_SAMPLE_FMT_FLT;
+    AVChannelLayout in_layout;
+    av_channel_layout_default(&in_layout, in_channels);
+    AVChannelLayout out_layout = AV_CHANNEL_LAYOUT_STEREO;
+
+    SwrContext *swr = nullptr;
+    int ret = swr_alloc_set_opts2(&swr, &out_layout, AV_SAMPLE_FMT_S16, out_rate,
+                                  &in_layout, fmt, in_rate, 0, nullptr);
+    av_channel_layout_uninit(&in_layout);
+    if (ret < 0 || (ret = swr_init(swr)) < 0) {
+        set_err(err, errcap, "swr init failed: " + av_err_str(ret));
+        if (swr) swr_free(&swr);
+        return -1;
+    }
+
+    int64_t max_out = av_rescale_rnd(n_in_frames + 4096, out_rate, in_rate, AV_ROUND_UP) + 4096;
+    int16_t *buf = (int16_t *)malloc(max_out * 2 * sizeof(int16_t));
+    if (!buf) {
+        swr_free(&swr);
+        set_err(err, errcap, "out of memory");
+        return -1;
+    }
+    const uint8_t *in_planes[1] = {(const uint8_t *)in};
+    uint8_t *out_planes[1] = {(uint8_t *)buf};
+    int n1 = swr_convert(swr, out_planes, (int)max_out, in_planes, (int)n_in_frames);
+    if (n1 < 0) {
+        free(buf);
+        swr_free(&swr);
+        set_err(err, errcap, "swr_convert failed: " + av_err_str(n1));
+        return -1;
+    }
+    uint8_t *out_planes2[1] = {(uint8_t *)(buf + (int64_t)n1 * 2)};
+    int n2 = swr_convert(swr, out_planes2, (int)(max_out - n1), nullptr, 0);  // flush
+    if (n2 < 0) n2 = 0;
+    swr_free(&swr);
+    *out_samples = buf;
+    *out_n_samples = ((int64_t)n1 + n2) * 2;
+    return 0;
+}
+
+}  // extern "C"

@@ -1,6 +1,396 @@
-"""placeholder"""
-class Comparator:  # noqa
-    def __init__(self, *a, **k):
-        raise NotImplementedError
-class SearchResult:  # noqa
-    pass
+"""Comparator: cross-episode opening/ending search.
+
+Mirrors needle/src/audio/comparator.rs. The pairwise hash-sequence search runs
+on a pluggable engine (batched JAX/TPU by default, reference-exact NumPy as
+fallback/oracle); candidate voting, skip files, and display logic run on host
+and replicate the reference exactly:
+
+  * pair generation order (comparator.rs:533-545),
+  * OpeningAndEndingInfo partitioning (comparator.rs:283-307),
+  * find_best_match's distinct-candidate voting with the 1.5x threshold bias
+    and the f32 weighted score -(count*0.3 + duration*0.7), with ties broken
+    by candidate index — the tuple sort at comparator.rs:456-473,
+  * time padding / hash-duration end adjustment (comparator.rs:475-512),
+  * skip-file read/write gating (comparator.rs:310-354, 600-624),
+  * display output byte-format (comparator.rs:356-381, 596-615).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import constants
+from .data import FrameHashes, SkipFile, skip_file_path
+from .duration import Duration
+from .errors import FrameHashDataNoEnding
+from .search.oracle import RunEntry, longest_common_hash_match, popcount_u32
+from .util import compute_header_md5sum, format_time
+
+
+@dataclass
+class OpeningAndEndingInfo:
+    """Mirror of the reference struct (comparator.rs:47-53)."""
+
+    src_openings: List[RunEntry]
+    dst_openings: List[RunEntry]
+    src_endings: List[RunEntry]
+    dst_endings: List[RunEntry]
+
+    def is_empty(self) -> bool:
+        return (
+            not self.src_openings
+            and not self.dst_openings
+            and not self.src_endings
+            and not self.dst_endings
+        )
+
+
+@dataclass
+class SearchResult:
+    """Result for one video (comparator.rs:65-69)."""
+
+    opening: Optional[Tuple[Duration, Duration]] = None
+    ending: Optional[Tuple[Duration, Duration]] = None
+
+
+class NumpySearchEngine:
+    """Per-pair reference-exact engine (the oracle)."""
+
+    def search_pair(self, comparator: "Comparator", src: FrameHashes, dst: FrameHashes):
+        return comparator._find_opening_and_ending_with(
+            src, dst, _lcs_numpy
+        )
+
+    def search_pairs(self, comparator, frame_hashes, pairs):
+        return [
+            self.search_pair(comparator, frame_hashes[i], frame_hashes[j])
+            for (i, j) in pairs
+        ]
+
+
+def _lcs_numpy(src, src_ts, dst, dst_ts, src_hd, dst_hd, is_opening, cfg):
+    return longest_common_hash_match(
+        src,
+        src_ts,
+        dst,
+        dst_ts,
+        src_hd,
+        dst_hd,
+        is_opening,
+        cfg.hash_match_threshold,
+        cfg.min_opening_duration,
+        cfg.min_ending_duration,
+    )
+
+
+def _get_jax_engine():
+    from .search.jax_impl import JaxSearchEngine
+
+    return JaxSearchEngine()
+
+
+class Comparator:
+    """Compares two or more videos using FrameHashes (comparator.rs:73-104)."""
+
+    def __init__(self, videos: Sequence = (), engine: str = "auto"):
+        self.videos: List[Path] = [Path(v) for v in videos]
+        self.include_endings: bool = False
+        self.hash_match_threshold: int = constants.DEFAULT_HASH_MATCH_THRESHOLD
+        self.min_opening_duration: Duration = Duration.from_secs(
+            constants.DEFAULT_MIN_OPENING_DURATION
+        )
+        self.min_ending_duration: Duration = Duration.from_secs(
+            constants.DEFAULT_MIN_ENDING_DURATION
+        )
+        self.time_padding: Duration = Duration.from_nanos(0)
+        self.engine_name = engine
+
+    # -- builder API mirroring with_* (comparator.rs:106-147) ----------------
+
+    @classmethod
+    def from_files(cls, videos: Sequence, **kwargs) -> "Comparator":
+        return cls(videos, **kwargs)
+
+    @classmethod
+    def from_analyzer(cls, analyzer) -> "Comparator":
+        return cls(analyzer.videos)
+
+    def with_include_endings(self, include_endings: bool) -> "Comparator":
+        self.include_endings = include_endings
+        return self
+
+    def with_hash_match_threshold(self, threshold: int) -> "Comparator":
+        self.hash_match_threshold = int(threshold)
+        return self
+
+    def with_min_opening_duration(self, d: Duration) -> "Comparator":
+        self.min_opening_duration = d
+        return self
+
+    def with_min_ending_duration(self, d: Duration) -> "Comparator":
+        self.min_ending_duration = d
+        return self
+
+    def with_time_padding(self, d: Duration) -> "Comparator":
+        self.time_padding = d
+        return self
+
+    def _engine(self):
+        if self.engine_name == "numpy":
+            return NumpySearchEngine()
+        if self.engine_name == "jax":
+            return _get_jax_engine()
+        # auto: prefer the batched JAX engine, fall back to NumPy
+        try:
+            return _get_jax_engine()
+        except Exception:
+            return NumpySearchEngine()
+
+    # -- core search ----------------------------------------------------------
+
+    def _find_opening_and_ending_with(
+        self, src_hashes: FrameHashes, dst_hashes: FrameHashes, lcs
+    ) -> OpeningAndEndingInfo:
+        """comparator.rs:252-308 with a pluggable LCS kernel."""
+        src_hd = src_hashes.hash_duration()
+        dst_hd = dst_hashes.hash_duration()
+
+        entries: List[RunEntry] = []
+        entries.extend(
+            lcs(
+                src_hashes.opening_hashes,
+                src_hashes.opening_ts_nanos,
+                dst_hashes.opening_hashes,
+                dst_hashes.opening_ts_nanos,
+                src_hd,
+                dst_hd,
+                True,
+                self,
+            )
+        )
+        if self.include_endings:
+            if len(src_hashes.ending_hashes) == 0 or len(dst_hashes.ending_hashes) == 0:
+                raise FrameHashDataNoEnding()
+            entries.extend(
+                lcs(
+                    src_hashes.ending_hashes,
+                    src_hashes.ending_ts_nanos,
+                    dst_hashes.ending_hashes,
+                    dst_hashes.ending_ts_nanos,
+                    src_hd,
+                    dst_hd,
+                    False,
+                    self,
+                )
+            )
+
+        src_openings, src_endings = [], []
+        dst_openings, dst_endings = [], []
+        for e in entries:
+            if e.is_src_opening:
+                src_openings.append(e)
+            elif e.is_src_ending:
+                src_endings.append(e)
+            if e.is_dst_opening:
+                dst_openings.append(e)
+            elif e.is_dst_ending:
+                dst_endings.append(e)
+        return OpeningAndEndingInfo(src_openings, dst_openings, src_endings, dst_endings)
+
+    # -- skip files -----------------------------------------------------------
+
+    @staticmethod
+    def check_skip_file(video) -> bool:
+        """comparator.rs:310-327."""
+        sfp = skip_file_path(video)
+        if not sfp.exists():
+            return False
+        md5 = compute_header_md5sum(video)
+        skip = SkipFile.read(sfp)
+        return skip.md5 == md5
+
+    def create_skip_file(self, video, result: SearchResult) -> None:
+        """comparator.rs:329-354."""
+        opening = (
+            (result.opening[0].as_secs_f32(), result.opening[1].as_secs_f32())
+            if result.opening
+            else None
+        )
+        ending = (
+            (result.ending[0].as_secs_f32(), result.ending[1].as_secs_f32())
+            if result.ending
+            else None
+        )
+        if opening is None and ending is None:
+            return
+        md5 = compute_header_md5sum(video)
+        SkipFile(opening=opening, ending=ending, md5=md5).write(skip_file_path(video))
+
+    # -- display --------------------------------------------------------------
+
+    def display_opening_ending_info(self, result: SearchResult) -> None:
+        """comparator.rs:356-381 (exact output bytes, incl. Debug quotes)."""
+        if result.opening is not None:
+            start, end = result.opening
+            print(f'* Opening - "{format_time(start)}"-"{format_time(end)}"')
+        else:
+            print("* Opening - N/A")
+        if self.include_endings:
+            if result.ending is not None:
+                start, end = result.ending
+                print(f'* Ending - "{format_time(start)}"-"{format_time(end)}"')
+            else:
+                print("* Ending - N/A")
+
+    # -- voting ---------------------------------------------------------------
+
+    def find_best_match(
+        self, matches: List[Tuple[OpeningAndEndingInfo, bool]]
+    ) -> Optional[SearchResult]:
+        """comparator.rs:405-515, reference-exact."""
+        if len(matches) == 0:
+            return None
+
+        # candidates: ((start, end), hash_duration, match_hash), is_opening
+        candidates = []
+        for m, is_source in matches:
+            if is_source:
+                for e in m.src_openings:
+                    candidates.append(
+                        ((e.src_longest_run, e.src_hash_duration, e.src_match_hash), True)
+                    )
+                for e in m.src_endings:
+                    candidates.append(
+                        ((e.src_longest_run, e.src_hash_duration, e.src_match_hash), False)
+                    )
+            else:
+                for e in m.dst_openings:
+                    candidates.append(
+                        ((e.dst_longest_run, e.dst_hash_duration, e.dst_match_hash), True)
+                    )
+                for e in m.dst_endings:
+                    candidates.append(
+                        ((e.dst_longest_run, e.dst_hash_duration, e.dst_match_hash), False)
+                    )
+
+        best = SearchResult()
+        if not candidates:
+            # The reference would compute empty vote maps and find no best
+            # opening/ending; it still returns Some(default).
+            return best
+
+        # Pairwise simhash distance voting (comparator.rs:434-453). dist must
+        # be strictly below threshold + threshold/2 (integer division).
+        sim = np.array([c[0][2] for c in candidates], dtype=np.uint32)
+        dist = popcount_u32(sim[:, None] ^ sim[None, :])
+        bias_threshold = self.hash_match_threshold + self.hash_match_threshold // 2
+        votes = (dist < bias_threshold).sum(axis=1).astype(np.int64)
+
+        def pick(want_opening: bool):
+            scored = []
+            for k, (c, is_opening) in enumerate(candidates):
+                if is_opening != want_opening:
+                    continue
+                (start, end), _, _ = c
+                count = int(votes[k])
+                duration_secs = (end - start).as_secs_f32()
+                score = -(
+                    np.float32(count) * np.float32(0.3)
+                    + duration_secs * np.float32(0.7)
+                )
+                scored.append((float(score), k))
+            scored.sort()  # lexicographic (score, k), like the reference tuple sort
+            if not scored:
+                return None
+            _, idx = scored[0]
+            (start, end), hash_duration, _ = candidates[idx][0]
+            return (
+                start + self.time_padding,
+                end - self.time_padding - hash_duration,
+            )
+
+        best.opening = pick(True)
+        if self.include_endings:
+            best.ending = pick(False)
+        return best
+
+    # -- top-level runs --------------------------------------------------------
+
+    def run_with_frame_hashes(
+        self,
+        frame_hashes: List[FrameHashes],
+        display: bool,
+        use_skip_files: bool,
+        write_skip_files: bool,
+        threading: bool = True,
+    ) -> List[SearchResult]:
+        """comparator.rs:524-629."""
+        n = len(self.videos)
+        pairs = []
+        processed = [False] * n
+        for i in range(n):
+            for j in range(n):
+                if i == j or processed[j]:
+                    continue
+                pairs.append((i, j))
+            processed[i] = True
+
+        engine = self._engine()
+        infos = engine.search_pairs(self, frame_hashes, pairs)
+        data = [
+            (i, j, info)
+            for (i, j), info in zip(pairs, infos)
+            if not info.is_empty()
+        ]
+
+        info_map: List[List[Tuple[OpeningAndEndingInfo, bool]]] = [[] for _ in range(n)]
+        for src_idx, dst_idx, info in data:
+            info_map[src_idx].append((info, True))
+            info_map[dst_idx].append((info, False))
+
+        results: List[SearchResult] = []
+        for idx, matches in enumerate(info_map):
+            path = self.videos[idx]
+            if display:
+                print(f"\n{path}\n")
+
+            if use_skip_files and self.check_skip_file(path):
+                if display:
+                    print("Skipping due to existing skip file...")
+                continue
+
+            result = self.find_best_match(matches)
+            if result is None:
+                if display:
+                    if self.include_endings:
+                        print("No opening or ending found.")
+                    else:
+                        print("No opening found.")
+                continue
+            if display:
+                self.display_opening_ending_info(result)
+            if write_skip_files:
+                self.create_skip_file(path, result)
+            results.append(result)
+
+        return results
+
+    def run(
+        self,
+        analyze: bool,
+        display: bool,
+        use_skip_files: bool,
+        write_skip_files: bool,
+        threading: bool = True,
+    ) -> List[SearchResult]:
+        """comparator.rs:637-663."""
+        frame_hashes = [
+            FrameHashes.from_video(video, analyze) for video in self.videos
+        ]
+        return self.run_with_frame_hashes(
+            frame_hashes, display, use_skip_files, write_skip_files, threading
+        )

@@ -30,11 +30,18 @@ _LIB_CANDIDATES = (
 
 _lib = None
 _lib_checked = False
+_lib_lock = __import__("threading").Lock()
 
 
 def load_library() -> Optional[ctypes.CDLL]:
     """Load libchromaprint if available, configuring prototypes. Returns None
     if the library is not installed (callers should skip golden tests)."""
+    global _lib, _lib_checked
+    with _lib_lock:
+        return _load_library_locked()
+
+
+def _load_library_locked() -> Optional[ctypes.CDLL]:
     global _lib, _lib_checked
     if _lib_checked:
         return _lib

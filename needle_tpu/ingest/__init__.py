@@ -1,0 +1,295 @@
+"""Host-side media ingest: probe/decode/resample via the native C++ extension.
+
+The reference does all media IO through FFmpeg's C libraries via ffmpeg-next
+(needle/src/audio/analyzer.rs, util.rs). Here the equivalent native layer is
+`native/needle_ingest.cpp` (libavformat/libavcodec/libswresample), exposed
+over a C ABI and loaded with ctypes. It reproduces the reference's decode
+semantics exactly (packet pts filtering, resample chain, seek behavior) so
+fingerprints and timestamps agree.
+
+Also provides direct PCM ingestion (WAV / raw) for pre-decoded pipelines: the
+PCM is run through the same swresample path to S16 stereo at chromaprint's
+rate, matching what the reference's decode chain would produce.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_NAME = "libneedle_ingest.so"
+
+_lib = None
+_lib_lock = __import__("threading").Lock()
+
+
+class IngestError(RuntimeError):
+    pass
+
+
+def _build_native() -> Optional[Path]:
+    so = _NATIVE_DIR / _LIB_NAME
+    if so.exists():
+        return so
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+    except Exception:
+        return None
+    return so if so.exists() else None
+
+
+def load_native() -> ctypes.CDLL:
+    global _lib
+    with _lib_lock:
+        return _load_native_locked()
+
+
+def _load_native_locked() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = _build_native()
+    if so is None:
+        raise IngestError(
+            "native ingest library unavailable (build native/libneedle_ingest.so)"
+        )
+    lib = ctypes.CDLL(str(so))
+    c = ctypes
+    lib.ni_avutil_version.restype = c.c_uint
+    lib.ni_avformat_version.restype = c.c_uint
+    lib.ni_avcodec_version.restype = c.c_uint
+    lib.ni_free.argtypes = [c.c_void_p]
+    lib.ni_free.restype = None
+    lib.ni_probe.argtypes = [
+        c.c_char_p,
+        c.POINTER(c.c_int),
+        c.POINTER(c.c_int),
+        c.c_char_p,
+        c.c_int,
+    ]
+    lib.ni_probe.restype = c.c_int
+    lib.ni_decode_audio.argtypes = [
+        c.c_char_p,
+        c.c_double,
+        c.c_double,
+        c.c_int,
+        c.c_int,
+        c.POINTER(c.POINTER(c.c_int16)),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_double),
+        c.c_char_p,
+        c.c_int,
+    ]
+    lib.ni_decode_audio.restype = c.c_int
+    lib.ni_resample_pcm.argtypes = [
+        c.c_void_p,
+        c.c_int64,
+        c.c_int,
+        c.c_int,
+        c.c_int,
+        c.c_int,
+        c.POINTER(c.POINTER(c.c_int16)),
+        c.POINTER(c.c_int64),
+        c.c_char_p,
+        c.c_int,
+    ]
+    lib.ni_resample_pcm.restype = c.c_int
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        load_native()
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class ProbeInfo:
+    num_video_streams: int
+    num_audio_streams: int
+
+
+def probe(path) -> ProbeInfo:
+    """Count video/audio streams (reference util.rs:40-52)."""
+    lib = load_native()
+    nv, na = ctypes.c_int(), ctypes.c_int()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.ni_probe(
+        str(path).encode(), ctypes.byref(nv), ctypes.byref(na), err, len(err)
+    )
+    if rc != 0:
+        raise IngestError(err.value.decode(errors="replace"))
+    return ProbeInfo(nv.value, na.value)
+
+
+def native_ffmpeg_version() -> int:
+    return load_native().ni_avutil_version()
+
+
+class SeekPastEnd(IngestError):
+    """Mirror of the reference's seek assertion (audio/util.rs:29-32)."""
+
+
+def decode_audio(
+    path,
+    seek_to_secs: Optional[float] = None,
+    duration_limit_secs: Optional[float] = None,
+    sample_rate: int = 11025,
+    threaded: bool = False,
+) -> Tuple[np.ndarray, float]:
+    """Decode the best audio stream to S16 interleaved stereo PCM.
+
+    Returns (interleaved int16 array, stream_duration_secs), mirroring the
+    reference's process_frames decode path (analyzer.rs:156-284).
+    """
+    lib = load_native()
+    buf = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    dur = ctypes.c_double()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.ni_decode_audio(
+        str(path).encode(),
+        -1.0 if seek_to_secs is None else float(seek_to_secs),
+        -1.0 if duration_limit_secs is None else float(duration_limit_secs),
+        sample_rate,
+        1 if threaded else 0,
+        ctypes.byref(buf),
+        ctypes.byref(n),
+        ctypes.byref(dur),
+        err,
+        len(err),
+    )
+    if rc == -2:
+        raise SeekPastEnd(err.value.decode(errors="replace"))
+    if rc != 0:
+        raise IngestError(err.value.decode(errors="replace"))
+    try:
+        samples = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.ni_free(buf)
+    return samples, dur.value
+
+
+def stream_duration_secs(path) -> float:
+    """The reference's stream-duration value without decoding (used to plan
+    opening/ending windows). Cheap: opens the container only."""
+    # decode 0 seconds: end timestamp == seek0 -> loop exits immediately.
+    _, dur = decode_audio(path, None, 0.0)
+    return dur
+
+
+def resample_pcm_to_stereo(
+    pcm: np.ndarray, in_rate: int, channels: int, out_rate: int = 11025
+) -> np.ndarray:
+    """Resample arbitrary PCM (int16 or float32, interleaved) to S16
+    interleaved stereo via swresample — the same resampler family the
+    reference's decode chain uses."""
+    pcm = np.ascontiguousarray(pcm)
+    if pcm.dtype == np.int16:
+        fmt = 0
+    elif pcm.dtype == np.float32:
+        fmt = 1
+    else:
+        raise ValueError(f"unsupported PCM dtype {pcm.dtype}")
+    if pcm.ndim == 2:
+        channels = pcm.shape[1]
+        pcm = pcm.reshape(-1)
+    n_frames = pcm.size // channels
+    lib = load_native()
+    buf = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.ni_resample_pcm(
+        pcm.ctypes.data_as(ctypes.c_void_p),
+        n_frames,
+        in_rate,
+        channels,
+        fmt,
+        out_rate,
+        ctypes.byref(buf),
+        ctypes.byref(n),
+        err,
+        len(err),
+    )
+    if rc != 0:
+        raise IngestError(err.value.decode(errors="replace"))
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.ni_free(buf)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pre-decoded PCM file ingestion (WAV / raw), for pipelines that feed audio
+# directly (e.g. benchmark configs supplying 16 kHz mono PCM).
+# ---------------------------------------------------------------------------
+
+
+def read_wav(path) -> Tuple[np.ndarray, int, int]:
+    """Minimal RIFF/WAVE reader for PCM16/float32. Returns (interleaved,
+    sample_rate, channels)."""
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise IngestError(f"not a WAV file: {path}")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise IngestError(f"malformed WAV file: {path}")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif audio_fmt == 3 and bits == 32:
+        samples = np.frombuffer(raw, dtype="<f4")
+    else:
+        raise IngestError(f"unsupported WAV format {audio_fmt}/{bits}bit: {path}")
+    return samples.copy(), rate, channels
+
+
+def is_pcm_file(path) -> bool:
+    p = str(path).lower()
+    return p.endswith(".wav") or p.endswith(".pcm") or p.endswith(".raw")
+
+
+def load_pcm_as_chromaprint_input(
+    path, raw_rate: int = 16000, raw_channels: int = 1, raw_dtype=np.int16
+) -> Tuple[np.ndarray, float]:
+    """Read a WAV or raw-PCM file and convert to S16 interleaved stereo at
+    11025 Hz (chromaprint's native input in the reference chain). Returns
+    (interleaved stereo i16, duration_secs of the source)."""
+    p = str(path).lower()
+    if p.endswith(".wav"):
+        samples, rate, channels = read_wav(path)
+    else:
+        samples = np.fromfile(path, dtype=raw_dtype)
+        rate, channels = raw_rate, raw_channels
+    duration = (samples.size // channels) / rate
+    out = resample_pcm_to_stereo(samples, rate, channels)
+    return out, duration

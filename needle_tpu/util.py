@@ -96,6 +96,15 @@ def _is_video_header(buf: bytes) -> bool:
     return False
 
 
+# needle-tpu extension: also accept pre-decoded audio files (.wav/.pcm/.raw)
+# as analyzable inputs. The reference requires a video stream; large-scale
+# TPU pipelines commonly feed pre-decoded PCM instead. Set to False for
+# strict reference semantics.
+ALLOW_AUDIO_ONLY_FILES = True
+
+_AUDIO_ONLY_SUFFIXES = (".wav", ".pcm", ".raw")
+
+
 def is_valid_video_file(path, full: bool = True, audio: bool = True) -> bool:
     """Checks if `path` points to a valid video file (util.rs:22-53).
 
@@ -108,6 +117,9 @@ def is_valid_video_file(path, full: bool = True, audio: bool = True) -> bool:
     path = Path(path)
     if str(path).endswith(FRAME_HASH_DATA_FILE_NAME):
         return False
+
+    if ALLOW_AUDIO_ONLY_FILES and path.suffix.lower() in _AUDIO_ONLY_SUFFIXES:
+        return path.is_file()
 
     if not full:
         try:

@@ -1,0 +1,123 @@
+"""End-to-end: CLI analyze/search over synthetic seasons and sample videos."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from needle_tpu.cli import main
+from needle_tpu.data import FrameHashes
+from needle_tpu.testing import make_synthetic_season
+
+
+@pytest.fixture(scope="module")
+def season(tmp_path_factory):
+    d = tmp_path_factory.mktemp("season")
+    paths, op_truth, end_truth = make_synthetic_season(
+        d, num_episodes=3, episode_secs=120, opening_secs=25, ending_secs=25, seed=42
+    )
+    return d, paths, op_truth, end_truth
+
+
+def test_analyze_writes_dat(season):
+    d, paths, _, _ = season
+    assert main(["analyze", "--include-endings", "--backend", "numpy", str(d)]) == 0
+    for p in paths:
+        dat = p.with_suffix(".needle.dat")
+        fh = FrameHashes.from_path(dat)
+        assert len(fh.opening_hashes) > 100
+        assert len(fh.ending_hashes) > 50
+        # timestamps strictly increasing, starting at chromaprint delay
+        assert fh.opening_ts_nanos[0] == 2600090703
+        assert (np.diff(fh.opening_ts_nanos) > 0).all()
+
+
+def test_analyze_cache_skip(season, capsys):
+    d, paths, _, _ = season
+    main(["analyze", "--include-endings", "--backend", "numpy", str(d)])
+    out = capsys.readouterr().out
+    assert f"Skipping analysis for {paths[0]}..." in out
+
+
+def test_search_finds_openings_and_endings(season, capsys):
+    d, paths, op_truth, end_truth = season
+    assert (
+        main(["search", "--include-endings", "--write-skip-files", "--engine", "numpy", str(d)])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "* Opening - " in out and "* Ending - " in out
+    for p, (op_s, op_e), (en_s, en_e) in zip(paths, op_truth, end_truth):
+        skip = json.loads(p.with_suffix(".needle.skip.json").read_text())
+        got_open = skip["opening"]
+        assert got_open is not None
+        # openings should bracket the truth within a few seconds (hash
+        # granularity ~0.25 s + fuzzy-match extension at the edges)
+        assert abs(got_open[0] - op_s) < 8.0
+        assert abs(got_open[1] - op_e) < 8.0
+        got_end = skip["ending"]
+        assert got_end is not None
+        assert abs(got_end[0] - en_s) < 8.0
+        assert abs(got_end[1] - en_e) < 8.0
+
+
+def test_search_use_skip_files(season, capsys):
+    d, _, _, _ = season
+    main(["search", "--include-endings", "--use-skip-files", "--engine", "numpy", str(d)])
+    out = capsys.readouterr().out
+    assert "Skipping due to existing skip file..." in out
+
+
+def test_display_format(season, capsys):
+    d, paths, _, _ = season
+    main(["search", "--include-endings", "--engine", "numpy", str(d)])
+    out = capsys.readouterr().out
+    # reference format: * Opening - "MM:SSs"-"MM:SSs" (Debug-quoted strings)
+    import re
+
+    assert re.search(r'\* Opening - "\d{2,}:\d{2}s"-"\d{2,}:\d{2}s"', out)
+    for p in paths:
+        assert f"\n{p}\n" in out
+
+
+def test_backends_agree_end_to_end(tmp_path, chromaprint_available):
+    """numpy pipeline and the real libchromaprint pipeline must produce
+    byte-identical .dat and skip files through the full CLI."""
+    if not chromaprint_available:
+        pytest.skip("libchromaprint not installed")
+    results = {}
+    for backend in ["numpy", "chromaprint"]:
+        d = tmp_path / backend
+        make_synthetic_season(
+            d, num_episodes=3, episode_secs=100, opening_secs=25, ending_secs=22, seed=7
+        )
+        main(["analyze", "--backend", backend, "--include-endings", str(d)])
+        main(["search", "--no-display", "--write-skip-files", "--include-endings", str(d)])
+        results[backend] = {
+            p.name: p.read_bytes()
+            for p in sorted(d.glob("*.needle.*"))
+        }
+    assert results["numpy"] == results["chromaprint"]
+
+
+def test_sample_videos_analyze(sample_videos):
+    """The reference's bundled 5s samples decode and analyze cleanly."""
+    d = sample_videos[0].parent
+    assert main(["analyze", "--backend", "numpy", "--force", str(d)]) == 0
+    for p in sample_videos:
+        fh = FrameHashes.from_path(p.with_suffix(".needle.dat"))
+        assert fh.md5() is not None
+
+
+def test_cli_validation(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        main(["analyze", "--opening-search-percentage", "1.5", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        main(["analyze", "--hash-duration", "0", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        main(["search", "--hash-match-threshold", "33", str(tmp_path)])
+    # fewer than 2 videos
+    (tmp_path / "only.wav").write_bytes(b"RIFF")
+    with pytest.raises(SystemExit):
+        main(["search", str(tmp_path / "only.wav")])

@@ -1,0 +1,117 @@
+"""Search oracle vs a literal transcription of comparator.rs, and simhash
+vs libchromaprint."""
+
+import numpy as np
+import pytest
+
+from needle_tpu.duration import Duration
+from needle_tpu.search.oracle import (
+    binary_heap_order,
+    compute_run_table,
+    longest_common_hash_match,
+    popcount_u32,
+    simhash32,
+    simhash32_batch,
+)
+
+
+def brute_force_runs(src, dst, thr, min_dur_ns, src_ts, dst_ts):
+    """Direct triple-loop transcription of comparator.rs:174-229."""
+    n, m = len(src), len(dst)
+    table = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n):
+        for j in range(m):
+            if i == 0 or j == 0:
+                table[i][j] = 0
+            elif bin(int(src[i]) ^ int(dst[j])).count("1") <= thr:
+                table[i][j] = table[i - 1][j - 1] + 1
+            else:
+                table[i][j] = 0
+    out = []
+    for i in reversed(range(1, n)):
+        for j in reversed(range(1, m)):
+            if table[i][j] == 0 or (
+                i < n - 1 and j < m - 1 and table[i + 1][j + 1] != 0
+            ):
+                continue
+            ssi, sei = i - table[i][j], i
+            dsi, dei = j - table[i][j], j
+            if (src_ts[sei] - src_ts[ssi]) >= min_dur_ns and (
+                dst_ts[dei] - dst_ts[dsi]
+            ) >= min_dur_ns:
+                out.append((table[i][j], ssi, sei, dsi, dei))
+    return out
+
+
+def test_popcount(rng):
+    x = rng.integers(0, 2**32, 1000).astype(np.uint32)
+    expect = np.array([bin(int(v)).count("1") for v in x])
+    assert (popcount_u32(x) == expect).all()
+
+
+def test_simhash_vs_library(rng, chromaprint_available):
+    if not chromaprint_available:
+        pytest.skip("libchromaprint not installed")
+    from needle_tpu.fingerprint.oracle import ChromaprintOracle
+
+    ctx = ChromaprintOracle()
+    for _ in range(30):
+        n = int(rng.integers(1, 300))
+        hs = rng.integers(0, 2**32, n).astype(np.uint32)
+        assert simhash32(hs) == ctx.simhash(hs)
+    hs = rng.integers(0, 2**32, 500).astype(np.uint32)
+    starts = rng.integers(0, 400, 50)
+    ends = starts + rng.integers(0, 99, 50)
+    batch = simhash32_batch(hs, starts, ends)
+    for k in range(50):
+        assert int(batch[k]) == simhash32(hs[starts[k] : ends[k] + 1])
+
+
+def test_lcs_vs_brute_force(rng):
+    for _ in range(100):
+        n, m = int(rng.integers(2, 50)), int(rng.integers(2, 50))
+        src = rng.integers(0, 4, n).astype(np.uint32)
+        dst = rng.integers(0, 4, m).astype(np.uint32)
+        ts_s = (np.arange(n) * 250_000_000).astype(np.int64)
+        ts_d = (np.arange(m) * 250_000_000).astype(np.int64)
+        min_dur = Duration.from_nanos(1_000_000_000)
+        want = sorted(
+            brute_force_runs(src, dst, 1, min_dur.total_nanos(), ts_s, ts_d)
+        )
+        entries = longest_common_hash_match(
+            src, ts_s, dst, ts_d,
+            Duration.from_millis(250), Duration.from_millis(250),
+            True, 1, min_dur, min_dur,
+        )
+        got = sorted(
+            (
+                e.score,
+                e.src_longest_run[0].total_nanos() // 250_000_000,
+                e.src_longest_run[1].total_nanos() // 250_000_000,
+                e.dst_longest_run[0].total_nanos() // 250_000_000,
+                e.dst_longest_run[1].total_nanos() // 250_000_000,
+            )
+            for e in entries
+        )
+        assert got == want
+
+
+def test_run_table_zeroing_quirk():
+    # identical sequences: the diagonal run cannot include index 0
+    x = np.array([5, 5, 5, 5], np.uint32)
+    table = compute_run_table(x, x, 0)
+    assert table[0, 0] == 0  # forced zero despite matching hash
+    assert table[3, 3] == 3  # run starts at (1,1)
+
+
+def test_heap_order_emulation():
+    """Known BinaryHeap behavior: backing array after pushes is heap order."""
+    from needle_tpu.search.oracle import RunEntry
+
+    def e(score):
+        z = (Duration.from_nanos(0), Duration.from_nanos(0))
+        return RunEntry(score, z, z, 0, 0, True, False, True, False)
+
+    out = binary_heap_order([e(1), e(2), e(3)])
+    # push 1 -> [1]; push 2 -> sift up -> [2,1]; push 3 -> [3,1,2]
+    assert [x.score for x in out] == [3, 1, 2]
