@@ -169,6 +169,35 @@ class Analyzer:
 
     # -- hash assembly (analyzer.rs:286-318) -----------------------------------
 
+    # Timestamp tables are identical across episodes (ts_i depends only on the
+    # raw index i); cache them per (step_by, length).
+    _ts_table_cache: dict = {}
+
+    @classmethod
+    def _ts_table(cls, step_by: int, count: int) -> np.ndarray:
+        """int64 nanos of delay + item.mul_f32(i) for i = 0, step, 2*step..."""
+        key = step_by
+        cached = cls._ts_table_cache.get(key)
+        if cached is None or len(cached) < count:
+            want = max(count, 2 * len(cached) if cached is not None else count, 1024)
+            idx = np.arange(0, want * step_by, step_by, dtype=np.int64)
+            item_f32 = CHROMAPRINT_ITEM_DURATION.as_secs_f32()
+            prods = np.float32(idx.astype(np.float32) * item_f32)
+            # Duration::from_secs_f32: exact f32 value -> nanos, half-even.
+            # For values in this range the f32 is exactly representable in
+            # f64, so float64(prod) * 1e9 rounded half-even equals the
+            # Fraction-exact computation (f32 has 24-bit mantissa; the ns
+            # product fits f64's 53 bits exactly for < ~9e6 seconds... use
+            # exact Fraction math in one vectorized pass to be safe).
+            from fractions import Fraction
+
+            cached = np.array(
+                [round(Fraction(float(p)) * 10**9) for p in prods], dtype=np.int64
+            )
+            cached += CHROMAPRINT_DELAY.total_nanos()
+            cls._ts_table_cache[key] = cached
+        return cached[:count]
+
     @staticmethod
     def _hashes_with_timestamps(
         raw_hashes: np.ndarray,
@@ -186,14 +215,7 @@ class Analyzer:
             step_by = 1
         idx = np.arange(0, len(raw_hashes), step_by, dtype=np.int64)
         hashes = np.asarray(raw_hashes, dtype=np.uint32)[idx]
-        # ts = delay + item_duration.mul_f32(i as f32)  (+ seek_to)
-        item_f32 = CHROMAPRINT_ITEM_DURATION.as_secs_f32()
-        prods = np.float32(idx.astype(np.float32) * item_f32)
-        # Duration::from_secs_f32: exact f32 value -> nanos, round-half-even.
-        ts = np.array(
-            [Duration.from_secs_f32(p).total_nanos() for p in prods], dtype=np.int64
-        )
-        ts += CHROMAPRINT_DELAY.total_nanos()
+        ts = Analyzer._ts_table(step_by, len(idx)).copy()
         if seek_to is not None:
             ts += seek_to.total_nanos()
         return hashes, ts
@@ -239,12 +261,25 @@ class Analyzer:
     def run(
         self, hash_duration: Duration, persist: bool, threading: bool = True
     ) -> List[FrameHashes]:
-        """analyzer.rs:425-455 (decode parallel on host threads; fingerprints
-        batch naturally on the accelerator backend)."""
+        """analyzer.rs:425-455.
+
+        Decode runs on host threads; with the JAX backend all episodes'
+        segments are fingerprinted as ONE batched device dispatch (the
+        episodes axis is the TPU-native replacement for the reference's
+        rayon fan-out, and shards over meshes)."""
         if len(self.videos) == 0:
             raise AnalyzerMissingPaths()
         if isinstance(hash_duration, (int, float)):
             hash_duration = Duration.from_secs_f32(np.float32(hash_duration))
+
+        use_batched = len(self.videos) > 1 and self.backend_name in ("jax", "auto")
+        if use_batched:
+            try:
+                from .fingerprint.jax_impl import fingerprint_jax_batch  # noqa: F401
+            except Exception:
+                use_batched = False
+        if use_batched:
+            return self._run_batched(hash_duration, persist, threading)
 
         if threading and len(self.videos) > 1:
             with ThreadPoolExecutor() as pool:
@@ -255,3 +290,80 @@ class Analyzer:
                     )
                 )
         return [self.run_single(p, hash_duration, persist) for p in self.videos]
+
+    def _run_batched(
+        self, hash_duration: Duration, persist: bool, threading: bool
+    ) -> List[FrameHashes]:
+        """Batched analyze: threaded decode -> one fingerprint dispatch ->
+        assembly/persist. Cache semantics identical to run_single."""
+        from .data import FrameHashes as FH
+        from .fingerprint.jax_impl import fingerprint_jax_batch
+        from .fingerprint.numpy_impl import downmix_stereo_i16
+
+        videos = [Path(p) for p in self.videos]
+
+        def prepare(path):
+            md5 = compute_header_md5sum(path)
+            fhp = frame_hash_data_path(path)
+            if not self.force and fhp.exists():
+                try:
+                    data = FH.from_path(fhp)
+                except Exception:
+                    data = None
+                if data is not None and data.md5() == md5:
+                    print(f"Skipping analysis for {path}...")
+                    return ("cached", data)
+            opening_pcm, ending_pcm, _, seek_to = self._decode_segments(path)
+            return (
+                "decoded",
+                md5,
+                downmix_stereo_i16(opening_pcm),
+                downmix_stereo_i16(ending_pcm) if ending_pcm is not None else None,
+                seek_to,
+            )
+
+        if threading and len(videos) > 1:
+            with ThreadPoolExecutor() as pool:
+                prepped = list(pool.map(prepare, videos))
+        else:
+            prepped = [prepare(p) for p in videos]
+
+        # Collect every segment needing fingerprinting into one batch.
+        segments: List[np.ndarray] = []
+        seg_ref: List[tuple] = []  # (video_idx, "opening"/"ending")
+        for vi, item in enumerate(prepped):
+            if item[0] == "cached":
+                continue
+            _, _, opening_mono, ending_mono, _ = item
+            segments.append(opening_mono)
+            seg_ref.append((vi, "opening"))
+            if ending_mono is not None:
+                segments.append(ending_mono)
+                seg_ref.append((vi, "ending"))
+
+        raw_by_ref = {}
+        if segments:
+            outs = fingerprint_jax_batch(segments)
+            raw_by_ref = {ref: out for ref, out in zip(seg_ref, outs)}
+
+        results: List[FrameHashes] = []
+        for vi, (path, item) in enumerate(zip(videos, prepped)):
+            if item[0] == "cached":
+                results.append(item[1])
+                continue
+            _, md5, _, ending_mono, seek_to = item
+            oh, ot = self._hashes_with_timestamps(
+                raw_by_ref[(vi, "opening")], hash_duration, None
+            )
+            if ending_mono is not None:
+                eh, et = self._hashes_with_timestamps(
+                    raw_by_ref[(vi, "ending")], hash_duration, seek_to
+                )
+            else:
+                eh = np.zeros(0, np.uint32)
+                et = np.zeros(0, np.int64)
+            fh = FrameHashes(oh, ot, eh, et, hash_duration, md5)
+            if persist:
+                fh.save(frame_hash_data_path(path))
+            results.append(fh)
+        return results

@@ -1,0 +1,104 @@
+"""Multi-chip sharding over JAX device meshes.
+
+The reference's parallelism is rayon thread pools over videos (analyze) and
+over episode pairs (search) on one CPU (needle/src/audio/analyzer.rs:437-445,
+comparator.rs:549-564). The TPU-native equivalents are mesh-sharded batch
+axes with XLA inserting any collectives:
+
+  * **episodes axis** — the fingerprint pipeline is batched over episodes
+    (vmap); sharding the batch dimension over a 1-D mesh data-parallelizes
+    analyze across chips. No cross-episode communication exists, so XLA
+    emits zero collectives; results gather to host for persistence.
+  * **pairs/tiles axis** — the search engine's (pair, diagonal-tile) work
+    items are independent; sharding the item axis over the mesh
+    data-parallelizes the all-pairs search. Hash tensors are small (u32 per
+    ~0.25 s of audio), so full replication of inputs (an implicit
+    all-gather) costs ~nothing next to the O(n*m) match work.
+
+Use :func:`set_mesh` (or the `needle_mesh` context manager) to activate a
+mesh; the JAX engines consult :func:`get_mesh` and shard their batched
+dispatches automatically. On one device everything degrades to the
+single-chip path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+EPISODE_AXIS = "episodes"
+ITEM_AXIS = "items"
+
+_active_mesh: Optional[Mesh] = None
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = ITEM_AXIS) -> Mesh:
+    """1-D mesh over the first `n_devices` devices (default: all).
+
+    If the default platform has fewer devices than requested, falls back to
+    the CPU platform (useful with --xla_force_host_platform_device_count=N
+    for validating multi-chip sharding without hardware).
+    """
+    devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devices = cpu
+        except RuntimeError:
+            pass
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"need {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def set_mesh(mesh: Optional[Mesh]) -> None:
+    global _active_mesh
+    _active_mesh = mesh
+
+
+def get_mesh() -> Optional[Mesh]:
+    return _active_mesh
+
+
+@contextlib.contextmanager
+def needle_mesh(n_devices: Optional[int] = None):
+    """Context manager activating a mesh for analyze/search dispatches."""
+    mesh = make_mesh(n_devices)
+    prev = get_mesh()
+    set_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_mesh(prev)
+
+
+def shard_batch(array, mesh: Optional[Mesh] = None):
+    """Place a batched array with its leading axis sharded over the mesh.
+
+    Pads the leading axis to a multiple of the mesh size (with zeros) and
+    returns (device_array, original_leading_size). Callers slice outputs
+    back to the original size.
+    """
+    mesh = mesh if mesh is not None else get_mesh()
+    b = array.shape[0]
+    if mesh is None or np.prod(mesh.devices.shape) <= 1:
+        return jax.numpy.asarray(array), b
+    n_dev = int(np.prod(mesh.devices.shape))
+    pad = (-b) % n_dev
+    if pad:
+        array = np.concatenate(
+            [array, np.zeros((pad,) + array.shape[1:], array.dtype)], axis=0
+        )
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis, *([None] * (array.ndim - 1))))
+    return jax.device_put(array, sharding), b

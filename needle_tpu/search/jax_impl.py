@@ -1,0 +1,430 @@
+"""Batched JAX/XLA search engine: all episode pairs at once on TPU.
+
+TPU-first reformulation of the reference's per-pair rayon DP loop
+(needle/src/audio/comparator.rs:156-250, 549-564).
+
+Key ideas:
+
+  * Skewed coordinates: matches form S[i, d] = popcount(src[i] ^ dst[j]) <= t
+    with j = i + d - (n-1); a diagonal run of the (n x m) match matrix is a
+    *vertical* run in (i, d). The reference's sequential LCS DP collapses to
+    run-length-along-columns:  c = cumsum(S); L = c - cummax(c * ~S)  — two
+    associative scans that XLA lowers to log-depth TPU code.
+  * Work items are (pair, diagonal-tile): every item computes an
+    (n_pad x D_TILE) tile, so one compiled shape serves any library size,
+    memory stays bounded regardless of episode count, and the item axis is
+    the natural axis to vmap/shard over TPU meshes.
+  * Per-diagonal results are reduced with a single uint32 max over
+    key = run_length * n_pad + i (no variadic argmax: its (N, 2) pair temp
+    tiles catastrophically on TPU), plus a candidate count.
+  * Run ends + the reference's row-0/column-0 zeroing quirk are applied
+    exactly; candidates are pre-filtered by a conservative run-length bound
+    derived from real timestamp spacing. The exact min-duration check,
+    simhash, walk ordering, and Rust-BinaryHeap emulation happen on host
+    over the tiny candidate set, so RunEntry lists are identical to the
+    NumPy oracle. If any diagonal holds more than one candidate (possible
+    only with repeated >=min-duration audio at the same offset), that pair
+    falls back to the oracle — exactness is never sacrificed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .._jax_setup import ensure as _jax_setup_ensure
+
+_jax_setup_ensure()
+
+from ..duration import Duration
+from .oracle import (
+    RunEntry,
+    binary_heap_order,
+    longest_common_hash_match,
+    simhash32_batch,
+)
+
+D_TILE = 512
+# Per-dispatch device memory budget for the (n_pad x D_TILE) tiles.
+_MEM_BUDGET = 6 << 30
+
+
+def _popcount_u32_jnp(x: jnp.ndarray) -> jnp.ndarray:
+    one = jnp.uint32(1)
+    v = x - ((x >> one) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+    v = (v + (v >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+    return ((v * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(jnp.int32)
+
+
+def _tile_runs(src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_pad):
+    """One diagonal tile of one pair, at STATIC base offset d0.
+
+    All index math uses compile-time constants — per-item traced offsets
+    force XLA into a generic per-cell gather that measured ~27x slower.
+    Validity is carried by uploaded bool arrays instead of traced lengths:
+      vsrc[i]: i is a usable src index (i >= 1 and i < n_valid),
+      lsrc[i]: i is the LAST valid src index (boundary run end),
+      vdst/ldst: same for dst.
+
+    Diagonals are indexed by the raw offset o = j - i; this tile covers
+    o in [d0, d0 + D_TILE). Returns per-diagonal
+    (best_key = run * n_pad + i + 1, candidate count); 0 = no candidate.
+    """
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, D_TILE), 0)
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, D_TILE), 1) + d0
+    j_idx = jnp.clip(i_idx + o_idx, 0, m_pad - 1)
+    oob = (i_idx + o_idx) != j_idx  # true where the clip actually clipped
+
+    dstg = jnp.take(dst, j_idx, axis=0)
+    vdstg = jnp.take(vdst, j_idx, axis=0) & ~oob
+    ldstg = jnp.take(ldst, j_idx, axis=0)
+
+    S = (
+        (_popcount_u32_jnp(src[:, None] ^ dstg) <= threshold)
+        & vsrc[:, None]
+        & vdstg
+    )
+
+    c = jnp.cumsum(S.astype(jnp.int32), axis=0)
+    z = jnp.where(S, 0, c)
+    run = c - jax.lax.cummax(z, axis=0)
+
+    S_next = jnp.concatenate([S[1:], jnp.zeros((1, D_TILE), bool)], axis=0)
+    at_boundary = lsrc[:, None] | ldstg
+    ends = S & (at_boundary | ~S_next)
+    cand = ends & (run >= l_min)
+
+    key = jnp.where(
+        cand,
+        run.astype(jnp.uint32) * jnp.uint32(n_pad) + i_idx.astype(jnp.uint32) + 1,
+        jnp.uint32(0),
+    )
+    return jnp.max(key, axis=0), jnp.sum(cand.astype(jnp.int32), axis=0)
+
+
+# Max candidates extracted per pair on device; more -> oracle fallback.
+K_TOP = 32
+
+
+def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m_pad):
+    """All diagonal tiles of one pair, unrolled over a static d0 grid
+    covering the full padded offset range [-(n_pad-1), m_pad-1].
+
+    Compacts results on device: top-K candidate keys with their diagonal
+    indices, plus (total candidates, max per-diagonal count) for overflow
+    detection — keeping the host download tiny.
+    """
+    keys, counts = [], []
+    d0 = -(n_pad - 1)
+    while d0 <= m_pad - 1:
+        k, c = _tile_runs(
+            src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_pad
+        )
+        keys.append(k)
+        counts.append(c)
+        d0 += D_TILE
+    all_keys = jnp.concatenate(keys)
+    all_counts = jnp.concatenate(counts)
+    top_vals, top_idx = jax.lax.top_k(all_keys, K_TOP)
+    return top_vals, top_idx.astype(jnp.int32), jnp.sum(all_counts), jnp.max(all_counts)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "n_pad", "m_pad"))
+def _batch_tiles(src_b, dst_b, vsrc_b, lsrc_b, vdst_b, ldst_b, lm_b, threshold, n_pad, m_pad):
+    return jax.vmap(
+        lambda s, d, vs, ls, vd, ld, lm: _pair_all_tiles(
+            s, d, vs, ls, vd, ld, lm, threshold, n_pad, m_pad
+        )
+    )(src_b, dst_b, vsrc_b, lsrc_b, vdst_b, ldst_b, lm_b)
+
+
+def grid_base(n_pad: int) -> int:
+    """First diagonal offset of the static tile grid."""
+    return -(n_pad - 1)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def _bucket(x: int) -> int:
+    """Shape bucket for hash-sequence lengths (limits recompiles)."""
+    b = 256
+    while b < x:
+        b *= 2
+    for q in (b // 2 + b // 8, b // 2 + b // 4, b // 2 + 3 * b // 8, b):
+        if x <= q:
+            return q
+    return b
+
+
+class _EpisodeSide:
+    """Cached per-episode arrays for one segment type (opening/ending)."""
+
+    __slots__ = ("hashes", "ts", "max_spacing")
+
+    def __init__(self, hashes: np.ndarray, ts: np.ndarray):
+        self.hashes = np.asarray(hashes, dtype=np.uint32)
+        self.ts = np.asarray(ts, dtype=np.int64)
+        if len(ts) >= 2:
+            self.max_spacing = int(np.max(np.diff(self.ts)))
+        else:
+            self.max_spacing = 1
+
+
+class JaxSearchEngine:
+    """Batched all-pairs search over TPU (or any JAX backend)."""
+
+    def __init__(self, mem_budget: int = _MEM_BUDGET):
+        self.mem_budget = mem_budget
+        jax.devices()  # probe usability
+
+    def _entries_from_candidates(
+        self,
+        side_s: _EpisodeSide,
+        side_d: _EpisodeSide,
+        cands: List[Tuple[int, int, int]],  # (i, j, run_len)
+        src_hd: Duration,
+        dst_hd: Duration,
+        is_opening: bool,
+        min_dur_ns: int,
+    ) -> List[RunEntry]:
+        if not cands:
+            return []
+        cands = sorted(cands, key=lambda t: (-t[0], -t[1]))  # reference walk order
+        arr = np.array(cands, dtype=np.int64)
+        i, j, L = arr[:, 0], arr[:, 1], arr[:, 2]
+        ssi, dsi = i - L, j - L
+        src_start, src_end = side_s.ts[ssi], side_s.ts[i]
+        dst_start, dst_end = side_d.ts[dsi], side_d.ts[j]
+        valid = ((src_end - src_start) >= min_dur_ns) & (
+            (dst_end - dst_start) >= min_dur_ns
+        )
+        sel = np.flatnonzero(valid)
+        if len(sel) == 0:
+            return []
+        src_sim = simhash32_batch(side_s.hashes, ssi[sel], i[sel])
+        dst_sim = simhash32_batch(side_d.hashes, dsi[sel], j[sel])
+        entries = [
+            RunEntry(
+                score=int(L[k]),
+                src_longest_run=(
+                    Duration.from_nanos(int(src_start[k])),
+                    Duration.from_nanos(int(src_end[k])),
+                ),
+                dst_longest_run=(
+                    Duration.from_nanos(int(dst_start[k])),
+                    Duration.from_nanos(int(dst_end[k])),
+                ),
+                src_match_hash=int(src_sim[q]),
+                dst_match_hash=int(dst_sim[q]),
+                is_src_opening=is_opening,
+                is_src_ending=not is_opening,
+                is_dst_opening=is_opening,
+                is_dst_ending=not is_opening,
+                src_hash_duration=src_hd,
+                dst_hash_duration=dst_hd,
+            )
+            for q, k in enumerate(sel)
+        ]
+        return binary_heap_order(entries)
+
+    def _search_side(
+        self,
+        comparator,
+        sides: List[_EpisodeSide],
+        hash_durations: List[Duration],
+        pairs: List[Tuple[int, int]],
+        is_opening: bool,
+    ) -> Dict[int, List[RunEntry]]:
+        threshold = int(comparator.hash_match_threshold)
+        min_dur = (
+            comparator.min_opening_duration
+            if is_opening
+            else comparator.min_ending_duration
+        )
+        min_dur_ns = min_dur.total_nanos()
+
+        results: Dict[int, List[RunEntry]] = {p: [] for p in range(len(pairs))}
+        work = []
+        for p_idx, (a, b) in enumerate(pairs):
+            if len(sides[a].hashes) == 0 or len(sides[b].hashes) == 0:
+                continue
+            work.append((p_idx, a, b))
+        if not work:
+            return results
+
+        n_pad = _bucket(max(len(sides[a].hashes) for _, a, _ in work))
+        m_pad = _bucket(max(len(sides[b].hashes) for _, _, b in work))
+        if n_pad > 65534:
+            # uint32 key = run * n_pad + i + 1 would overflow; such sequences
+            # (>2.2h of audio per segment side) fall back to the oracle.
+            for p_idx, a, b in work:
+                results[p_idx] = longest_common_hash_match(
+                    sides[a].hashes, sides[a].ts, sides[b].hashes, sides[b].ts,
+                    hash_durations[a], hash_durations[b], is_opening, threshold,
+                    comparator.min_opening_duration, comparator.min_ending_duration,
+                )
+            return results
+
+        # Per-pair device work; validity/boundary carried by bool arrays so
+        # every traced value in the kernel's index math is a constant.
+        per_pair_bytes = n_pad * D_TILE * 12 * 4  # a few live tiles per pair
+        chunk = max(1, min(len(work), self.mem_budget // max(per_pair_bytes, 1)))
+
+        pair_cands: Dict[int, List[Tuple[int, int, int]]] = {}
+        pair_overflow: Dict[int, bool] = {}
+        d_base = -(n_pad - 1)
+
+        # Launch every chunk asynchronously (JAX queues dispatches), then
+        # collect — hides upload/dispatch latency behind device compute.
+        from ..parallel import shard_batch
+
+        launched = []
+        for c0 in range(0, len(work), chunk):
+            batch = work[c0 : c0 + chunk]
+            # Fresh host buffers per chunk: device transfers are async and
+            # must not observe mutation for the next chunk.
+            src_b = np.zeros((chunk, n_pad), np.uint32)
+            dst_b = np.zeros((chunk, m_pad), np.uint32)
+            vsrc_b = np.zeros((chunk, n_pad), bool)
+            lsrc_b = np.zeros((chunk, n_pad), bool)
+            vdst_b = np.zeros((chunk, m_pad), bool)
+            ldst_b = np.zeros((chunk, m_pad), bool)
+            lm_b = np.full((chunk,), np.iinfo(np.int32).max, np.int32)
+            for r, (p_idx, a, b) in enumerate(batch):
+                sa, sb = sides[a], sides[b]
+                nv, mv = len(sa.hashes), len(sb.hashes)
+                src_b[r, :nv] = sa.hashes
+                dst_b[r, :mv] = sb.hashes
+                # index 0 is never usable (the reference zeroes row/col 0)
+                vsrc_b[r, 1:nv] = True
+                vdst_b[r, 1:mv] = True
+                lsrc_b[r, nv - 1] = nv > 1
+                ldst_b[r, mv - 1] = mv > 1
+                lm = max(
+                    -(-min_dur_ns // sa.max_spacing),
+                    -(-min_dur_ns // sb.max_spacing),
+                )
+                lm_b[r] = min(lm, np.iinfo(np.int32).max)
+
+            out = _batch_tiles(
+                shard_batch(src_b)[0],
+                shard_batch(dst_b)[0],
+                shard_batch(vsrc_b)[0],
+                shard_batch(lsrc_b)[0],
+                shard_batch(vdst_b)[0],
+                shard_batch(ldst_b)[0],
+                shard_batch(lm_b)[0],
+                threshold,
+                n_pad,
+                m_pad,
+            )
+            launched.append((batch, out))
+
+        for batch, (vals_dev, idx_dev, total_dev, maxc_dev) in launched:
+            vals = np.asarray(vals_dev).astype(np.int64)
+            idxs = np.asarray(idx_dev)
+            totals = np.asarray(total_dev)
+            maxcs = np.asarray(maxc_dev)
+
+            for r, (p_idx, a, b) in enumerate(batch):
+                if maxcs[r] > 1 or totals[r] > K_TOP:
+                    # >1 candidate on a diagonal (device keeps only the best
+                    # per diagonal) or more candidates than extracted.
+                    pair_overflow[p_idx] = True
+                    continue
+                hit = vals[r] > 0
+                if not hit.any():
+                    continue
+                keys = vals[r][hit]
+                runs = (keys - 1) // n_pad
+                iis = (keys - 1) % n_pad
+                offs = idxs[r][hit].astype(np.int64) + d_base
+                lst = pair_cands.setdefault(p_idx, [])
+                for run_l, i_v, o_v in zip(runs, iis, offs):
+                    lst.append((int(i_v), int(i_v + o_v), int(run_l)))
+
+        for p_idx, a, b in work:
+            sa, sb = sides[a], sides[b]
+            if pair_overflow.get(p_idx):
+                results[p_idx] = longest_common_hash_match(
+                    sa.hashes,
+                    sa.ts,
+                    sb.hashes,
+                    sb.ts,
+                    hash_durations[a],
+                    hash_durations[b],
+                    is_opening,
+                    threshold,
+                    comparator.min_opening_duration,
+                    comparator.min_ending_duration,
+                )
+            else:
+                results[p_idx] = self._entries_from_candidates(
+                    sa,
+                    sb,
+                    pair_cands.get(p_idx, []),
+                    hash_durations[a],
+                    hash_durations[b],
+                    is_opening,
+                    min_dur_ns,
+                )
+        return results
+
+    def search_pairs(self, comparator, frame_hashes, pairs):
+        """Engine entry point used by Comparator.run_with_frame_hashes."""
+        from ..comparator import OpeningAndEndingInfo
+        from ..errors import FrameHashDataNoEnding
+
+        hash_durations = [fh.hash_duration() for fh in frame_hashes]
+        open_sides = [
+            _EpisodeSide(fh.opening_hashes, fh.opening_ts_nanos) for fh in frame_hashes
+        ]
+        open_entries = self._search_side(
+            comparator, open_sides, hash_durations, pairs, True
+        )
+
+        end_entries: Dict[int, List[RunEntry]] = {}
+        if comparator.include_endings:
+            for a, b in pairs:
+                if (
+                    len(frame_hashes[a].ending_hashes) == 0
+                    or len(frame_hashes[b].ending_hashes) == 0
+                ):
+                    raise FrameHashDataNoEnding()
+            end_sides = [
+                _EpisodeSide(fh.ending_hashes, fh.ending_ts_nanos)
+                for fh in frame_hashes
+            ]
+            end_entries = self._search_side(
+                comparator, end_sides, hash_durations, pairs, False
+            )
+
+        infos = []
+        for p_idx in range(len(pairs)):
+            entries = list(open_entries.get(p_idx, []))
+            if comparator.include_endings:
+                entries.extend(end_entries.get(p_idx, []))
+            src_openings, src_endings, dst_openings, dst_endings = [], [], [], []
+            for e in entries:
+                if e.is_src_opening:
+                    src_openings.append(e)
+                elif e.is_src_ending:
+                    src_endings.append(e)
+                if e.is_dst_opening:
+                    dst_openings.append(e)
+                elif e.is_dst_ending:
+                    dst_endings.append(e)
+            infos.append(
+                OpeningAndEndingInfo(
+                    src_openings, dst_openings, src_endings, dst_endings
+                )
+            )
+        return infos

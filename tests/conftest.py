@@ -4,7 +4,7 @@ from pathlib import Path
 
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding code
 # paths are exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS; pin the platform at the config level so tests are hermetic
+# and run on the virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

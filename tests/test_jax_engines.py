@@ -1,0 +1,172 @@
+"""The JAX/TPU engines (fingerprint + search) vs the validated NumPy paths.
+
+Runs on the virtual 8-device CPU mesh (conftest). These are the tests the
+reference lacks entirely: the accelerated path is cross-checked against the
+reference-exact oracle on every synthetic input.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from needle_tpu.cli import main
+from needle_tpu.duration import Duration
+from needle_tpu.data import FrameHashes
+from needle_tpu.fingerprint.jax_impl import fingerprint_jax, fingerprint_jax_batch
+from needle_tpu.fingerprint.numpy_impl import fingerprint_numpy
+from needle_tpu.search.oracle import popcount_u32
+from needle_tpu.testing import make_synthetic_season
+
+
+def _music(rng, secs, rate=11025):
+    from needle_tpu.testing import _music_like
+
+    return _music_like(rng, int(secs * rate), rate)
+
+
+def _assert_hashes_close(a, b, max_bit_frac=0.002):
+    """JAX matmul-DFT hashes must agree with the scalar pipeline up to
+    float-noise near trained quantizer thresholds (≤1 gray bit each, rare)."""
+    assert a.shape == b.shape
+    if len(a) == 0:
+        return
+    dist = popcount_u32(a ^ b)
+    assert dist.max() <= 4, f"max hamming distance {dist.max()}"
+    frac = dist.sum() / (32.0 * len(a))
+    assert frac <= max_bit_frac, f"bit mismatch fraction {frac}"
+
+
+def test_fingerprint_jax_matches_numpy():
+    rng = np.random.default_rng(123)
+    mono = _music(rng, 30)
+    _assert_hashes_close(fingerprint_jax(mono), fingerprint_numpy(mono))
+
+
+def test_fingerprint_jax_batch_variable_lengths():
+    rng = np.random.default_rng(5)
+    monos = [_music(rng, s) for s in (8, 20, 33.7, 12)]
+    batched = fingerprint_jax_batch(monos)
+    for m, h in zip(monos, batched):
+        assert h.dtype == np.uint32
+        _assert_hashes_close(h, np.asarray(fingerprint_jax(m)))
+
+
+def test_fingerprint_jax_batch_empty_and_short():
+    assert fingerprint_jax_batch([]) == []
+    out = fingerprint_jax_batch([np.zeros(100, np.int16)])
+    assert len(out) == 1 and len(out[0]) == 0
+
+
+def test_jax_search_engine_matches_numpy_engine(tmp_path):
+    d = tmp_path / "season"
+    make_synthetic_season(
+        d, num_episodes=4, episode_secs=110, opening_secs=24, ending_secs=24, seed=11
+    )
+    from needle_tpu import Analyzer, Comparator
+
+    paths = sorted(d.glob("*"))
+    fhs = (
+        Analyzer.from_files(paths, backend="numpy")
+        .with_include_endings(True)
+        .run(Duration.from_secs_f32(np.float32(0.3)), persist=False)
+    )
+    results = {}
+    for engine in ("numpy", "jax"):
+        cmp = Comparator.from_files(paths, engine=engine).with_include_endings(True)
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        results[engine] = [
+            (
+                None if r.opening is None else (str(r.opening[0]), str(r.opening[1])),
+                None if r.ending is None else (str(r.ending[0]), str(r.ending[1])),
+            )
+            for r in res
+        ]
+    assert results["jax"] == results["numpy"]
+
+
+def test_jax_engine_end_to_end_cli(tmp_path):
+    d = tmp_path / "season"
+    _, op_truth, end_truth = make_synthetic_season(
+        d, num_episodes=3, episode_secs=100, opening_secs=25, ending_secs=22, seed=99
+    )
+    assert main(["analyze", "--backend", "jax", "--include-endings", str(d)]) == 0
+    assert (
+        main(
+            [
+                "search",
+                "--engine",
+                "jax",
+                "--include-endings",
+                "--no-display",
+                "--write-skip-files",
+                str(d),
+            ]
+        )
+        == 0
+    )
+    paths = sorted(d.glob("*.needle.skip.json"))
+    assert len(paths) == 3
+    for p, (op_s, op_e), (en_s, en_e) in zip(paths, op_truth, end_truth):
+        skip = json.loads(p.read_text())
+        assert skip["opening"] is not None and skip["ending"] is not None
+        assert abs(skip["opening"][0] - op_s) < 8.0
+        assert abs(skip["opening"][1] - op_e) < 8.0
+        assert abs(skip["ending"][0] - en_s) < 8.0
+        assert abs(skip["ending"][1] - en_e) < 8.0
+
+
+def test_jax_engine_under_mesh(tmp_path):
+    """Sharded over the virtual 8-device mesh, results are unchanged."""
+    d = tmp_path / "season"
+    make_synthetic_season(
+        d, num_episodes=4, episode_secs=90, opening_secs=22, ending_secs=0, seed=3
+    )
+    from needle_tpu import Comparator
+    from needle_tpu.parallel import needle_mesh
+
+    paths = sorted(d.glob("*"))
+    fhs = [FrameHashes.from_video(p, analyze=True) for p in paths]
+
+    def run():
+        cmp = Comparator.from_files(paths, engine="jax")
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        return [(r.opening, r.ending) for r in res]
+
+    base = run()
+    with needle_mesh(8):
+        sharded = run()
+    assert sharded == base
+    assert any(op is not None for op, _ in base)
+
+
+def test_batched_analyzer_matches_single(tmp_path):
+    """Analyzer.run's batched JAX dispatch == per-video run_single."""
+    d = tmp_path / "season"
+    make_synthetic_season(
+        d, num_episodes=3, episode_secs=60, opening_secs=15, ending_secs=15, seed=21
+    )
+    from needle_tpu import Analyzer
+
+    paths = sorted(d.glob("*"))
+    hd = Duration.from_secs_f32(np.float32(0.3))
+
+    batched = Analyzer.from_files(paths, backend="jax").with_include_endings(
+        True
+    ).run(hd, persist=False)
+    singles = [
+        Analyzer.from_files([p], backend="jax")
+        .with_include_endings(True)
+        .run_single(p, hd, persist=False)
+        for p in paths
+    ]
+    for b, s in zip(batched, singles):
+        np.testing.assert_array_equal(b.opening_hashes, s.opening_hashes)
+        np.testing.assert_array_equal(b.opening_ts_nanos, s.opening_ts_nanos)
+        np.testing.assert_array_equal(b.ending_hashes, s.ending_hashes)
+        np.testing.assert_array_equal(b.ending_ts_nanos, s.ending_ts_nanos)
+        assert b.md5() == s.md5()
