@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""End-to-end benchmark: analyze + search a 28-episode season on one chip.
+
+Mirrors the reference's headline numbers (aksiksi/needle README.md:96-108):
+analyze 28 x ~20 min episodes (11.983 s wall on a multi-core CPU via rayon)
+then all-pairs search over the pre-computed hashes (378 pairs, 5.617 s wall).
+Here both phases run through the TPU engines: batched fingerprinting
+(episodes axis) and the batched diagonal-run search (pairs axis).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total wall s>, "unit": "s",
+   "vs_baseline": <value / 17.6 — ratio to the reference's total;
+                   lower is better>, ...component timings/accuracy...}
+
+The synthetic season (16 kHz mono WAV episodes sharing an opening and an
+ending segment, ground truth known) is generated once and cached under
+.bench_cache/.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+BASELINE_ANALYZE_S = 11.983  # reference README.md:100-102
+BASELINE_SEARCH_S = 5.617  # reference README.md:104-105
+BASELINE_TOTAL_S = BASELINE_ANALYZE_S + BASELINE_SEARCH_S
+
+NUM_EPISODES = 28
+EPISODE_SECS = 1200.0
+OPENING_SECS = 85.0
+ENDING_SECS = 70.0
+RATE = 16000
+SEED = 20260816
+TRIALS = int(os.environ.get("NEEDLE_BENCH_TRIALS", "2"))
+
+CACHE = REPO / ".bench_cache" / (
+    f"season{NUM_EPISODES}_{int(EPISODE_SECS)}s_r{RATE}_s{SEED}"
+)
+
+
+def build_season():
+    marker = CACHE / "TRUTH.json"
+    if marker.exists():
+        truth = json.loads(marker.read_text())
+        paths = [CACHE / p for p in truth["paths"]]
+        if all(p.exists() for p in paths):
+            return paths, truth["opening"], truth["ending"]
+    from needle_tpu.testing import make_synthetic_season
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    paths, op_truth, end_truth = make_synthetic_season(
+        CACHE,
+        num_episodes=NUM_EPISODES,
+        episode_secs=EPISODE_SECS,
+        opening_secs=OPENING_SECS,
+        opening_offset_range=(5.0, 40.0),
+        ending_secs=ENDING_SECS,
+        rate=RATE,
+        seed=SEED,
+    )
+    marker.write_text(
+        json.dumps(
+            {
+                "paths": [p.name for p in paths],
+                "opening": op_truth,
+                "ending": end_truth,
+            }
+        )
+    )
+    return paths, op_truth, end_truth
+
+
+def warm_device():
+    """Absorb tunnel/compile cold-start before timing: small round trips
+    until the device answers quickly."""
+    import jax
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        t0 = time.time()
+        np.asarray(jax.device_put(np.ones(64, np.float32)) * 2.0)
+        if time.time() - t0 < 0.3:
+            return
+
+
+def run_analyze(paths, hash_duration):
+    from needle_tpu import Analyzer
+
+    return (
+        Analyzer.from_files(paths, force=True, backend="jax")
+        .with_include_endings(True)
+        .run(hash_duration, persist=True)
+    )
+
+
+def run_search(paths):
+    from needle_tpu import Comparator
+
+    cmp = Comparator.from_files(paths, engine="jax").with_include_endings(True)
+    return cmp.run(
+        analyze=False, display=False, use_skip_files=False, write_skip_files=True
+    )
+
+
+def accuracy(results, paths, op_truth, end_truth, tol=8.0):
+    ok = 0
+    for r, (op_s, op_e), en in zip(results, op_truth, end_truth):
+        good = (
+            r.opening is not None
+            and abs(r.opening[0].as_secs_f64() - op_s) < tol
+            and abs(r.opening[1].as_secs_f64() - op_e) < tol
+        )
+        if en is not None:
+            good = good and (
+                r.ending is not None
+                and abs(r.ending[0].as_secs_f64() - en[0]) < tol
+                and abs(r.ending[1].as_secs_f64() - en[1]) < tol
+            )
+        ok += bool(good)
+    return ok / max(1, len(results))
+
+
+def main():
+    t_setup0 = time.time()
+    paths, op_truth, end_truth = build_season()
+    setup_s = time.time() - t_setup0
+
+    from needle_tpu.duration import Duration
+
+    hash_duration = Duration.from_secs_f32(np.float32(0.3))
+
+    warm_device()
+
+    analyze_times, search_times = [], []
+    results = None
+    for _ in range(max(1, TRIALS)):
+        t0 = time.time()
+        run_analyze(paths, hash_duration)
+        analyze_times.append(time.time() - t0)
+
+        t0 = time.time()
+        results = run_search(paths)
+        search_times.append(time.time() - t0)
+
+    t_analyze = min(analyze_times)
+    t_search = min(search_times)
+    total = t_analyze + t_search
+    acc = accuracy(results, paths, op_truth, end_truth)
+
+    minutes_audio = NUM_EPISODES * EPISODE_SECS / 60.0
+    print(
+        json.dumps(
+            {
+                "metric": "analyze+search wall, 28-ep season (~20 min/ep), 1 chip",
+                "value": round(total, 4),
+                "unit": "s",
+                "vs_baseline": round(total / BASELINE_TOTAL_S, 4),
+                "speedup_vs_reference": round(BASELINE_TOTAL_S / total, 2),
+                "analyze_s": round(t_analyze, 4),
+                "search_s": round(t_search, 4),
+                "baseline_analyze_s": BASELINE_ANALYZE_S,
+                "baseline_search_s": BASELINE_SEARCH_S,
+                "minutes_audio_per_sec_analyze": round(minutes_audio / t_analyze, 1),
+                "pairs_per_sec_search": round(
+                    NUM_EPISODES * (NUM_EPISODES - 1) / 2 / t_search, 1
+                ),
+                "accuracy_vs_truth": round(acc, 4),
+                "setup_s": round(setup_s, 2),
+                "trials": TRIALS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
