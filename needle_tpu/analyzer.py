@@ -139,6 +139,11 @@ class Analyzer:
 
         # First probe duration (cheap open), mirroring analyzer.rs:362-374.
         duration_secs = ingest.stream_duration_secs(path)
+        return self._decode_segments_av(path, duration_secs)
+
+    def _decode_segments_av(self, path: Path, duration_secs: float):
+        from . import ingest
+
         stream_duration = Duration.from_secs_f64(duration_secs)
 
         opening_duration = stream_duration.mul_f32(
@@ -166,6 +171,52 @@ class Analyzer:
                 threaded=self.threaded_decoding,
             )
         return opening_pcm, ending_pcm, stream_duration, seek_to
+
+    # -- device ingest (raw PCM -> TPU resample/downmix/fingerprint) -----------
+
+    def _use_device_ingest(self, path) -> bool:
+        """Raw-PCM sources on the JAX backend skip host swr entirely: the
+        source-rate samples are uploaded and resampled/downmixed/hashed in
+        one fused device program (fingerprint.jax_impl.
+        fingerprint_ingest_jax_batch)."""
+        from . import ingest
+
+        if self.backend_name not in ("jax", "auto"):
+            return False
+        if not ingest.is_pcm_file(path):
+            return False
+        try:
+            from .fingerprint.jax_impl import fingerprint_ingest_jax_batch  # noqa
+            return True
+        except Exception:
+            return False
+
+    def _raw_segments(
+        self, path: Path
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], int, int, Optional[Duration]]:
+        """Source-rate opening/ending windows of a PCM file (no resample).
+
+        Returns (opening_raw, ending_raw, rate, channels, seek_to) with the
+        same window semantics as _decode_segments, but sliced in source
+        samples.
+        """
+        from . import ingest
+
+        samples, rate, channels, duration_secs = ingest.read_pcm_raw(path)
+        stream_duration = Duration.from_secs_f64(duration_secs)
+        opening_duration = stream_duration.mul_f32(
+            np.float32(self.opening_search_percentage)
+        )
+        n_open = int(opening_duration.as_secs_f64() * rate) * channels
+        opening_raw = samples[:n_open]
+        ending_raw, seek_to = None, None
+        if self.include_endings:
+            seek_to = stream_duration.mul_f32(
+                np.float32(1.0) - np.float32(self.ending_search_percentage)
+            )
+            n_skip = int((seek_to.as_millis() / 1000.0) * rate) * channels
+            ending_raw = samples[n_skip:]
+        return opening_raw, ending_raw, rate, channels, seek_to
 
     # -- hash assembly (analyzer.rs:286-318) -----------------------------------
 
@@ -240,13 +291,24 @@ class Analyzer:
                 print(f"Skipping analysis for {path}...")
                 return data
 
-        opening_pcm, ending_pcm, _, seek_to = self._decode_segments(path)
+        if self._use_device_ingest(path):
+            from .fingerprint.jax_impl import fingerprint_ingest_jax_batch
 
-        opening_raw = fp(opening_pcm)
-        oh, ot = self._hashes_with_timestamps(opening_raw, hash_duration, None)
-        if ending_pcm is not None:
-            ending_raw = fp(ending_pcm)
-            eh, et = self._hashes_with_timestamps(ending_raw, hash_duration, seek_to)
+            op_raw, en_raw, rate, channels, seek_to = self._raw_segments(path)
+            segs = [op_raw] + ([en_raw] if en_raw is not None else [])
+            outs = fingerprint_ingest_jax_batch(segs, rate, channels)
+            opening_hashes = outs[0]
+            ending_hashes = outs[1] if en_raw is not None else None
+        else:
+            opening_pcm, ending_pcm, _, seek_to = self._decode_segments(path)
+            opening_hashes = fp(opening_pcm)
+            ending_hashes = fp(ending_pcm) if ending_pcm is not None else None
+
+        oh, ot = self._hashes_with_timestamps(opening_hashes, hash_duration, None)
+        if ending_hashes is not None:
+            eh, et = self._hashes_with_timestamps(
+                ending_hashes, hash_duration, seek_to
+            )
         else:
             eh = np.zeros(0, np.uint32)
             et = np.zeros(0, np.int64)
@@ -294,11 +356,20 @@ class Analyzer:
     def _run_batched(
         self, hash_duration: Duration, persist: bool, threading: bool
     ) -> List[FrameHashes]:
-        """Batched analyze: threaded decode -> one fingerprint dispatch ->
-        assembly/persist. Cache semantics identical to run_single."""
+        """Batched analyze: threaded read/decode -> chunked device dispatches
+        -> assembly/persist. Cache semantics identical to run_single.
+
+        Raw-PCM sources use the fused device-ingest pipeline (upload
+        source-rate i16; resample/downmix/fingerprint on TPU); compressed
+        media decodes on host then fingerprints on device.
+        """
         from .data import FrameHashes as FH
-        from .fingerprint.jax_impl import fingerprint_jax_batch
+        from .fingerprint.jax_impl import (
+            fingerprint_ingest_jax_batch,
+            fingerprint_jax_batch,
+        )
         from .fingerprint.numpy_impl import downmix_stereo_i16
+        from .tracing import span
 
         videos = [Path(p) for p in self.videos]
 
@@ -313,6 +384,9 @@ class Analyzer:
                 if data is not None and data.md5() == md5:
                     print(f"Skipping analysis for {path}...")
                     return ("cached", data)
+            if self._use_device_ingest(path):
+                op_raw, en_raw, rate, channels, seek_to = self._raw_segments(path)
+                return ("raw", md5, op_raw, en_raw, seek_to, rate, channels)
             opening_pcm, ending_pcm, _, seek_to = self._decode_segments(path)
             return (
                 "decoded",
@@ -322,48 +396,70 @@ class Analyzer:
                 seek_to,
             )
 
-        if threading and len(videos) > 1:
-            with ThreadPoolExecutor() as pool:
-                prepped = list(pool.map(prepare, videos))
-        else:
-            prepped = [prepare(p) for p in videos]
+        with span("analyze.decode", videos=len(videos)):
+            if threading and len(videos) > 1:
+                with ThreadPoolExecutor() as pool:
+                    prepped = list(pool.map(prepare, videos))
+            else:
+                prepped = [prepare(p) for p in videos]
 
-        # Collect every segment needing fingerprinting into one batch.
-        segments: List[np.ndarray] = []
-        seg_ref: List[tuple] = []  # (video_idx, "opening"/"ending")
+        # Collect segments per pipeline: mono-11025 batches and raw-PCM
+        # groups keyed by (rate, channels).
+        mono_segments: List[np.ndarray] = []
+        mono_refs: List[tuple] = []  # (video_idx, "opening"/"ending")
+        raw_groups: dict = {}  # (rate, channels) -> (segments, refs)
         for vi, item in enumerate(prepped):
             if item[0] == "cached":
                 continue
-            _, _, opening_mono, ending_mono, _ = item
-            segments.append(opening_mono)
-            seg_ref.append((vi, "opening"))
-            if ending_mono is not None:
-                segments.append(ending_mono)
-                seg_ref.append((vi, "ending"))
+            if item[0] == "raw":
+                _, _, op_raw, en_raw, _, rate, channels = item
+                segs, refs = raw_groups.setdefault((rate, channels), ([], []))
+                segs.append(op_raw)
+                refs.append((vi, "opening"))
+                if en_raw is not None:
+                    segs.append(en_raw)
+                    refs.append((vi, "ending"))
+            else:
+                _, _, opening_mono, ending_mono, _ = item
+                mono_segments.append(opening_mono)
+                mono_refs.append((vi, "opening"))
+                if ending_mono is not None:
+                    mono_segments.append(ending_mono)
+                    mono_refs.append((vi, "ending"))
 
-        raw_by_ref = {}
-        if segments:
-            outs = fingerprint_jax_batch(segments)
-            raw_by_ref = {ref: out for ref, out in zip(seg_ref, outs)}
+        hashes_by_ref = {}
+        with span(
+            "analyze.fingerprint",
+            mono=len(mono_segments),
+            raw=sum(len(s) for s, _ in raw_groups.values()),
+        ):
+            if mono_segments:
+                outs = fingerprint_jax_batch(mono_segments)
+                hashes_by_ref.update(dict(zip(mono_refs, outs)))
+            for (rate, channels), (segs, refs) in raw_groups.items():
+                outs = fingerprint_ingest_jax_batch(segs, rate, channels)
+                hashes_by_ref.update(dict(zip(refs, outs)))
 
         results: List[FrameHashes] = []
-        for vi, (path, item) in enumerate(zip(videos, prepped)):
-            if item[0] == "cached":
-                results.append(item[1])
-                continue
-            _, md5, _, ending_mono, seek_to = item
-            oh, ot = self._hashes_with_timestamps(
-                raw_by_ref[(vi, "opening")], hash_duration, None
-            )
-            if ending_mono is not None:
-                eh, et = self._hashes_with_timestamps(
-                    raw_by_ref[(vi, "ending")], hash_duration, seek_to
+        with span("analyze.assemble"):
+            for vi, (path, item) in enumerate(zip(videos, prepped)):
+                if item[0] == "cached":
+                    results.append(item[1])
+                    continue
+                md5, seek_to = item[1], item[4]
+                has_ending = item[3] is not None
+                oh, ot = self._hashes_with_timestamps(
+                    hashes_by_ref[(vi, "opening")], hash_duration, None
                 )
-            else:
-                eh = np.zeros(0, np.uint32)
-                et = np.zeros(0, np.int64)
-            fh = FrameHashes(oh, ot, eh, et, hash_duration, md5)
-            if persist:
-                fh.save(frame_hash_data_path(path))
-            results.append(fh)
+                if has_ending:
+                    eh, et = self._hashes_with_timestamps(
+                        hashes_by_ref[(vi, "ending")], hash_duration, seek_to
+                    )
+                else:
+                    eh = np.zeros(0, np.uint32)
+                    et = np.zeros(0, np.int64)
+                fh = FrameHashes(oh, ot, eh, et, hash_duration, md5)
+                if persist:
+                    fh.save(frame_hash_data_path(path))
+                results.append(fh)
         return results

@@ -181,7 +181,23 @@ def _find_videos(args, paths):
         _error_exit(str(e))
 
 
+_metrics_hook_installed = False
+
+
 def main(argv=None) -> int:
+    # Log subscriber at INFO, mirroring the reference CLI (main.rs:255-259);
+    # NEEDLE_TPU_LOG=debug enables span-level tracing and
+    # NEEDLE_TPU_TIMINGS=1 prints per-stage wall times on exit.
+    from .tracing import install_cli_subscriber, report_metrics
+
+    install_cli_subscriber()
+    global _metrics_hook_installed
+    if not _metrics_hook_installed:
+        import atexit
+
+        atexit.register(report_metrics)
+        _metrics_hook_installed = True
+
     args = _build_parser().parse_args(argv)
 
     if args.command == "info":

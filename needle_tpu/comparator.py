@@ -339,8 +339,11 @@ class Comparator:
                 pairs.append((i, j))
             processed[i] = True
 
+        from .tracing import span
+
         engine = self._engine()
-        infos = engine.search_pairs(self, frame_hashes, pairs)
+        with span("search.pairs", pairs=len(pairs), engine=type(engine).__name__):
+            infos = engine.search_pairs(self, frame_hashes, pairs)
         data = [
             (i, j, info)
             for (i, j), info in zip(pairs, infos)

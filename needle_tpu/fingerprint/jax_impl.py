@@ -161,6 +161,172 @@ def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames
     return _pack_bits(gray)
 
 
+# ---------------------------------------------------------------------------
+# On-device ingest: polyphase rational resampling as an MXU matmul, fused
+# with downmix + fingerprinting in one jitted program.
+#
+# The reference resamples on host via libswresample (analyzer.rs:180-187);
+# with a single-core host that path is the analyze bottleneck, so for raw-PCM
+# ingest the JAX backend uploads the source-rate i16 samples and does
+# everything else on device. A block of k*M input samples produces exactly
+# k*L output samples (L/M = 11025/in_rate reduced); each output is a
+# windowed-sinc interpolation of 2H+1 neighbors, so one (k*M + 2H, k*L)
+# matrix turns resampling into a large static matmul over input blocks.
+# ---------------------------------------------------------------------------
+
+_RS_HALF_TAPS = 32  # half-width H of the windowed-sinc filter (input samples)
+
+
+@functools.lru_cache(maxsize=8)
+def _resample_plan(in_rate: int) -> Tuple[int, int, int, np.ndarray]:
+    """Returns (L, M, k, matrix) with matrix shape (k*M + 2H, k*L)."""
+    import math
+
+    g = math.gcd(SAMPLE_RATE, in_rate)
+    L, M = SAMPLE_RATE // g, in_rate // g
+    k = max(1, -(-128 // L))  # k*L >= 128 keeps the matmul N-dim efficient
+    H = _RS_HALF_TAPS
+    fc = 0.5 * min(1.0, L / M) * 0.945  # normalized cutoff (input rate)
+    n_rows, n_cols = k * M + 2 * H, k * L
+    j = np.arange(n_rows, dtype=np.float64)[:, None]
+    p = np.arange(n_cols, dtype=np.float64)[None, :]
+    t = p * M / L  # exact output centers in input samples
+    x = (j - H) - t
+    taps = 2.0 * fc * np.sinc(2.0 * fc * x)
+    taps *= np.kaiser(2 * 4096 + 1, 9.0)[
+        np.clip((x / H * 4096 + 4096).round().astype(np.int64), 0, 2 * 4096)
+    ]
+    taps[np.abs(x) > H] = 0.0
+    # unit DC gain per phase
+    taps /= taps.sum(axis=0, keepdims=True)
+    return L, M, k, taps.astype(np.float32)
+
+
+_rs_device_cache: dict = {}
+
+
+def _rs_device_matrix(in_rate: int):
+    if in_rate not in _rs_device_cache:
+        _rs_device_cache[in_rate] = jax.device_put(_resample_plan(in_rate)[3])
+    return _rs_device_cache[in_rate]
+
+
+def _ingest_dims(in_rate: int, n_frames: int) -> Tuple[int, int, int]:
+    """(n_blocks, in_len, out_len) for a given frame bucket: enough resampled
+    samples for n_frames frames, derived statically from the bucket."""
+    L, M, k, _ = _resample_plan(in_rate)
+    out_needed = (n_frames + _ROWS_PER_FRAME + 1) * HOP_SIZE
+    n_blocks = -(-out_needed // (k * L))
+    in_len = (n_blocks + 1) * (k * M)  # +1 block so every window has margin
+    return n_blocks, in_len, out_needed
+
+
+def _resample_inline(flat_f32, rs_mat, in_rate: int, n_frames: int):
+    """(in_len,) f32 at in_rate -> (out_padded,) f32 at 11025 Hz."""
+    L, M, k, _ = _resample_plan(in_rate)
+    H = _RS_HALF_TAPS
+    n_blocks, in_len, out_needed = _ingest_dims(in_rate, n_frames)
+    kM, kL = k * M, k * L
+    # Left-pad by H so the first outputs see their full filter support and
+    # output sample i lands exactly at input time i*M/L.
+    flat_f32 = jnp.concatenate([jnp.zeros((H,), jnp.float32), flat_f32])
+    rows = flat_f32[: n_blocks * kM].reshape(n_blocks, kM)
+    margin = flat_f32[kM : kM + n_blocks * kM].reshape(n_blocks, kM)[:, : 2 * H]
+    windows = jnp.concatenate([rows, margin], axis=1)
+    out = jnp.dot(windows, rs_mat, precision=_PREC).reshape(-1)
+    return out[:out_needed]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("in_rate", "channels", "n_frames")
+)
+def _ingest_fingerprint_batched(
+    batch_raw_i16, rs_mat, wc, ws, fold, W_cls, thresholds,
+    in_rate, channels, n_frames,
+):
+    """Fused device pipeline: downmix -> resample -> fingerprint, vmapped
+    over a FIXED number of lanes (one compiled program per (rate, bucket))."""
+
+    def one(raw):
+        if channels == 2:
+            x = raw.reshape(-1, 2).astype(jnp.float32)
+            mono = (x[:, 0] + x[:, 1]) * 0.5
+        else:
+            mono = raw.astype(jnp.float32)
+        if in_rate != SAMPLE_RATE:
+            mono = _resample_inline(mono, rs_mat, in_rate, n_frames)
+        pad_len = (n_frames + _ROWS_PER_FRAME + 1) * HOP_SIZE
+        mono = jnp.concatenate(
+            [mono, jnp.zeros((max(0, pad_len - mono.shape[0]),), jnp.float32)]
+        )[:pad_len]
+        return _fingerprint_core_inline(
+            mono, wc, ws, fold, W_cls, thresholds, n_frames
+        )
+
+    return jax.vmap(one)(batch_raw_i16)
+
+
+# Fixed lane count per dispatch: a single compiled program serves any
+# library size (the tail chunk is zero-padded), which matters doubly here
+# because remote TPU compiles are expensive.
+LANES = 8
+
+
+def resampled_length(n_in: int, in_rate: int, channels: int = 1) -> int:
+    """Output sample count at 11025 Hz for n_in interleaved input samples."""
+    L, M, _, _ = _resample_plan(in_rate)
+    return (n_in // channels) * L // M
+
+
+def fingerprint_ingest_jax_batch(
+    segments: Sequence[np.ndarray], in_rate: int, channels: int = 1
+) -> List[np.ndarray]:
+    """Fingerprint raw-PCM segments (i16 at in_rate, interleaved if stereo)
+    entirely on device: downmix + resample + hash in one fused program,
+    dispatched in fixed-size lane chunks grouped by length bucket."""
+    segments = [np.asarray(s, dtype=np.int16) for s in segments]
+    if not segments:
+        return []
+    out_lens = [
+        num_subfingerprints(resampled_length(len(s), in_rate, channels))
+        for s in segments
+    ]
+    results: List[np.ndarray] = [None] * len(segments)  # type: ignore
+
+    # Group by frame bucket.
+    groups: dict = {}
+    for idx, s in enumerate(segments):
+        n_sub = out_lens[idx]
+        if n_sub <= 0:
+            results[idx] = np.zeros(0, np.uint32)
+            continue
+        nf = num_frames(resampled_length(len(s), in_rate, channels))
+        groups.setdefault(_bucket_frames(nf), []).append(idx)
+
+    rs_mat = _rs_device_matrix(in_rate)
+    tables = _device_tables()
+    launched = []
+    for nf_b, idxs in sorted(groups.items()):
+        _, in_len, _ = _ingest_dims(in_rate, nf_b)
+        in_len *= channels
+        for c0 in range(0, len(idxs), LANES):
+            lane_idxs = idxs[c0 : c0 + LANES]
+            batch = np.zeros((LANES, in_len), np.int16)
+            for r, si in enumerate(lane_idxs):
+                s = segments[si]
+                batch[r, : min(len(s), in_len)] = s[:in_len]
+            out = _ingest_fingerprint_batched(
+                jnp.asarray(batch), rs_mat, *tables, in_rate, channels, nf_b
+            )
+            launched.append((lane_idxs, out))
+
+    for lane_idxs, out in launched:
+        host = np.asarray(out)
+        for r, si in enumerate(lane_idxs):
+            results[si] = host[r, : out_lens[si]].astype(np.uint32)
+    return results
+
+
 def _bucket_frames(n_frames: int) -> int:
     """Round frame counts up to limit recompilation (powers-of-two-ish)."""
     if n_frames <= 256:
@@ -196,27 +362,50 @@ def fingerprint_jax_stereo(interleaved_i16: np.ndarray) -> np.ndarray:
 
 
 def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
-    """Fingerprint a batch of mono i16 episodes.
+    """Fingerprint a batch of mono i16 episodes (11025 Hz).
 
-    Episodes are padded to a shared frame bucket and processed as one
-    batched call via vmap, uploaded as int16 (half the transfer bytes) —
-    the episodes axis is the natural data-parallel axis on TPU (and shards
-    over meshes; see needle_tpu.parallel).
+    Episodes are grouped by frame bucket and dispatched in FIXED-size lane
+    chunks (padding the tail), uploaded as int16 — one compiled program per
+    bucket serves any library size, and the episodes axis is the natural
+    data-parallel axis on TPU (sharding over meshes via needle_tpu.parallel).
     """
     monos = [np.asarray(m, dtype=np.int16) for m in monos]
-    n_subs = [num_subfingerprints(len(m)) for m in monos]
     if not monos:
         return []
-    if max(n_subs) <= 0:
-        return [np.zeros(0, np.uint32) for _ in monos]
-    nf_b = _bucket_frames(max(num_frames(len(m)) for m in monos))
-    pad_len = (nf_b + _ROWS_PER_FRAME + 1) * HOP_SIZE
-    batch = np.zeros((len(monos), pad_len), np.int16)
-    for r, m in enumerate(monos):
-        batch[r, : len(m)] = m
-    from ..parallel import shard_batch
+    n_subs = [num_subfingerprints(len(m)) for m in monos]
+    results: List[np.ndarray] = [None] * len(monos)  # type: ignore
 
-    device_batch, _ = shard_batch(batch)
-    out = _fingerprint_core_batched(device_batch, *_device_tables(), nf_b)
-    out = np.asarray(out)
-    return [out[r, :max(0, n)].astype(np.uint32) for r, n in enumerate(n_subs)]
+    groups: dict = {}
+    for idx, m in enumerate(monos):
+        if n_subs[idx] <= 0:
+            results[idx] = np.zeros(0, np.uint32)
+            continue
+        groups.setdefault(_bucket_frames(num_frames(len(m))), []).append(idx)
+
+    from ..parallel import get_mesh, shard_batch
+
+    mesh = get_mesh()
+    lanes = LANES
+    if mesh is not None:
+        n_dev = int(np.prod(mesh.devices.shape))
+        lanes = max(lanes, n_dev * max(1, lanes // n_dev))
+
+    tables = _device_tables()
+    launched = []
+    for nf_b, idxs in sorted(groups.items()):
+        pad_len = (nf_b + _ROWS_PER_FRAME + 1) * HOP_SIZE
+        for c0 in range(0, len(idxs), lanes):
+            lane_idxs = idxs[c0 : c0 + lanes]
+            batch = np.zeros((lanes, pad_len), np.int16)
+            for r, si in enumerate(lane_idxs):
+                m = monos[si]
+                batch[r, : min(len(m), pad_len)] = m[:pad_len]
+            device_batch, _ = shard_batch(batch)
+            out = _fingerprint_core_batched(device_batch, *tables, nf_b)
+            launched.append((lane_idxs, out))
+
+    for lane_idxs, out in launched:
+        host = np.asarray(out)
+        for r, si in enumerate(lane_idxs):
+            results[si] = host[r, : n_subs[si]].astype(np.uint32)
+    return results

@@ -278,6 +278,27 @@ def is_pcm_file(path) -> bool:
     return p.endswith(".wav") or p.endswith(".pcm") or p.endswith(".raw")
 
 
+def read_pcm_raw(
+    path, raw_rate: int = 16000, raw_channels: int = 1, raw_dtype=np.int16
+) -> Tuple[np.ndarray, int, int, float]:
+    """Read a WAV or raw-PCM file WITHOUT resampling. Returns
+    (interleaved i16 samples, rate, channels, duration_secs).
+
+    Used by the device-ingest path: the JAX backend uploads source-rate
+    samples and resamples/downmixes on the TPU instead of via host swr.
+    """
+    p = str(path).lower()
+    if p.endswith(".wav"):
+        samples, rate, channels = read_wav(path)
+        if samples.dtype != np.int16:
+            samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
+    else:
+        samples = np.fromfile(path, dtype=raw_dtype)
+        rate, channels = raw_rate, raw_channels
+    duration = (samples.size // channels) / rate
+    return samples, rate, channels, duration
+
+
 def load_pcm_as_chromaprint_input(
     path, raw_rate: int = 16000, raw_channels: int = 1, raw_dtype=np.int16
 ) -> Tuple[np.ndarray, float]:

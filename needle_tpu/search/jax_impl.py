@@ -275,8 +275,15 @@ class JaxSearchEngine:
 
         # Per-pair device work; validity/boundary carried by bool arrays so
         # every traced value in the kernel's index math is a constant.
+        # Chunk sizes are quantized to powers of two (tail chunks are padded
+        # to the same lane count by the fixed-shape buffers below), so the
+        # set of compiled programs stays small no matter the library size.
         per_pair_bytes = n_pad * D_TILE * 12 * 4  # a few live tiles per pair
-        chunk = max(1, min(len(work), self.mem_budget // max(per_pair_bytes, 1)))
+        chunk = max(1, min(128, self.mem_budget // max(per_pair_bytes, 1)))
+        pow2 = 1
+        while pow2 < len(work) and pow2 < chunk:
+            pow2 *= 2
+        chunk = min(chunk, pow2)
 
         pair_cands: Dict[int, List[Tuple[int, int, int]]] = {}
         pair_overflow: Dict[int, bool] = {}
@@ -285,8 +292,17 @@ class JaxSearchEngine:
         # Launch every chunk asynchronously (JAX queues dispatches), then
         # collect — hides upload/dispatch latency behind device compute.
         from ..parallel import shard_batch
+        from ..tracing import span
 
         launched = []
+        launch_span = span(
+            "search.launch",
+            side="opening" if is_opening else "ending",
+            work=len(work),
+            chunk=chunk,
+            n_pad=n_pad,
+        )
+        launch_span.__enter__()
         for c0 in range(0, len(work), chunk):
             batch = work[c0 : c0 + chunk]
             # Fresh host buffers per chunk: device transfers are async and
@@ -328,6 +344,12 @@ class JaxSearchEngine:
             )
             launched.append((batch, out))
 
+        launch_span.__exit__(None, None, None)
+
+        collect_span = span(
+            "search.collect", side="opening" if is_opening else "ending"
+        )
+        collect_span.__enter__()
         for batch, (vals_dev, idx_dev, total_dev, maxc_dev) in launched:
             vals = np.asarray(vals_dev).astype(np.int64)
             idxs = np.asarray(idx_dev)
@@ -350,6 +372,7 @@ class JaxSearchEngine:
                 lst = pair_cands.setdefault(p_idx, [])
                 for run_l, i_v, o_v in zip(runs, iis, offs):
                     lst.append((int(i_v), int(i_v + o_v), int(run_l)))
+        collect_span.__exit__(None, None, None)
 
         for p_idx, a, b in work:
             sa, sb = sides[a], sides[b]
