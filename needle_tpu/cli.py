@@ -254,5 +254,10 @@ def main(argv=None) -> int:
     return 0
 
 
-if __name__ == "__main__":
+def entrypoint() -> None:
+    """console_scripts entry point (pyproject.toml)."""
     sys.exit(main())
+
+
+if __name__ == "__main__":
+    entrypoint()
