@@ -41,7 +41,7 @@ SEED = 20260816
 TRIALS = int(os.environ.get("NEEDLE_BENCH_TRIALS", "2"))
 
 CACHE = REPO / ".bench_cache" / (
-    f"season{NUM_EPISODES}_{int(EPISODE_SECS)}s_r{RATE}_s{SEED}"
+    f"season{NUM_EPISODES}_{int(EPISODE_SECS)}s_r{RATE}_s{SEED}_v2"
 )
 
 

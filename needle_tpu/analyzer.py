@@ -353,11 +353,34 @@ class Analyzer:
                 )
         return [self.run_single(p, hash_duration, persist) for p in self.videos]
 
+    # Episodes per streaming wave: bounds host PCM memory for 1000+ episode
+    # libraries (each wave's decode overlaps the previous wave's async
+    # device dispatches).
+    STREAM_BLOCK = 64
+
     def _run_batched(
         self, hash_duration: Duration, persist: bool, threading: bool
     ) -> List[FrameHashes]:
-        """Batched analyze: threaded read/decode -> chunked device dispatches
-        -> assembly/persist. Cache semantics identical to run_single.
+        """Batched analyze in streaming waves of STREAM_BLOCK episodes."""
+        videos = [Path(p) for p in self.videos]
+        results: List[FrameHashes] = []
+        for w0 in range(0, len(videos), self.STREAM_BLOCK):
+            results.extend(
+                self._run_batched_block(
+                    videos[w0 : w0 + self.STREAM_BLOCK],
+                    hash_duration,
+                    persist,
+                    threading,
+                )
+            )
+        return results
+
+    def _run_batched_block(
+        self, videos: List[Path], hash_duration: Duration, persist: bool,
+        threading: bool,
+    ) -> List[FrameHashes]:
+        """One wave: threaded read/decode -> chunked device dispatches ->
+        assembly/persist. Cache semantics identical to run_single.
 
         Raw-PCM sources use the fused device-ingest pipeline (upload
         source-rate i16; resample/downmix/fingerprint on TPU); compressed
@@ -370,8 +393,6 @@ class Analyzer:
         )
         from .fingerprint.numpy_impl import downmix_stereo_i16
         from .tracing import span
-
-        videos = [Path(p) for p in self.videos]
 
         def prepare(path):
             md5 = compute_header_md5sum(path)

@@ -82,6 +82,17 @@ def needle_mesh(n_devices: Optional[int] = None):
         set_mesh(prev)
 
 
+def replicate(array, mesh: Optional[Mesh] = None):
+    """Place an array fully replicated over the active mesh (or on the
+    default device with no mesh). Used for broadcast operands (e.g. the
+    episode hash table) consumed by sharded batch dispatches."""
+    mesh = mesh if mesh is not None else get_mesh()
+    if mesh is None or np.prod(mesh.devices.shape) <= 1:
+        return jax.device_put(array)
+    sharding = NamedSharding(mesh, P(*([None] * np.ndim(array))))
+    return jax.device_put(array, sharding)
+
+
 def shard_batch(array, mesh: Optional[Mesh] = None):
     """Place a batched array with its leading axis sharded over the mesh.
 

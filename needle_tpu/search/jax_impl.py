@@ -135,13 +135,20 @@ def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m
     return top_vals, top_idx.astype(jnp.int32), jnp.sum(all_counts), jnp.max(all_counts)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "n_pad", "m_pad"))
-def _batch_tiles(src_b, dst_b, vsrc_b, lsrc_b, vdst_b, ldst_b, lm_b, threshold, n_pad, m_pad):
-    return jax.vmap(
-        lambda s, d, vs, ls, vd, ld, lm: _pair_all_tiles(
-            s, d, vs, ls, vd, ld, lm, threshold, n_pad, m_pad
+@functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
+def _batch_tiles_indexed(table, vtab, ltab, ia_b, ib_b, lm_b, threshold, n_pad):
+    """Pairs gather their episodes from a device-resident hash table, so
+    each episode's hashes are uploaded ONCE per search instead of once per
+    pair — at 300 episodes that is a ~450x transfer reduction and removes
+    the per-chunk host buffer assembly entirely."""
+
+    def one(ia, ib, lm):
+        return _pair_all_tiles(
+            table[ia], table[ib], vtab[ia], ltab[ia], vtab[ib], ltab[ib],
+            lm, threshold, n_pad, n_pad,
         )
-    )(src_b, dst_b, vsrc_b, lsrc_b, vdst_b, ldst_b, lm_b)
+
+    return jax.vmap(one)(ia_b, ib_b, lm_b)
 
 
 def grid_base(n_pad: int) -> int:
@@ -260,8 +267,13 @@ class JaxSearchEngine:
         if not work:
             return results
 
-        n_pad = _bucket(max(len(sides[a].hashes) for _, a, _ in work))
-        m_pad = _bucket(max(len(sides[b].hashes) for _, _, b in work))
+        n_pad = _bucket(
+            max(
+                max(len(sides[a].hashes) for _, a, _ in work),
+                max(len(sides[b].hashes) for _, _, b in work),
+            )
+        )
+        m_pad = n_pad
         if n_pad > 65534:
             # uint32 key = run * n_pad + i + 1 would overflow; such sequences
             # (>2.2h of audio per segment side) fall back to the oracle.
@@ -303,44 +315,55 @@ class JaxSearchEngine:
             n_pad=n_pad,
         )
         launch_span.__enter__()
+
+        # Episode hash table: every episode referenced by any pair, uploaded
+        # ONCE. The episode axis is bucketed so the compiled program count
+        # stays bounded as the library grows.
+        ep_ids = sorted({a for _, a, _ in work} | {b for _, _, b in work})
+        ep_slot = {e: s for s, e in enumerate(ep_ids)}
+        e_pad = _bucket(len(ep_ids))
+        table = np.zeros((e_pad, n_pad), np.uint32)
+        vtab = np.zeros((e_pad, n_pad), bool)
+        ltab = np.zeros((e_pad, n_pad), bool)
+        for e, s in ep_slot.items():
+            h = sides[e].hashes
+            nv = len(h)
+            table[s, :nv] = h
+            # index 0 is never usable (the reference zeroes row/col 0)
+            vtab[s, 1:nv] = True
+            ltab[s, nv - 1] = nv > 1
+        from ..parallel import replicate
+
+        table_d = replicate(table)
+        vtab_d = replicate(vtab)
+        ltab_d = replicate(ltab)
+
         for c0 in range(0, len(work), chunk):
             batch = work[c0 : c0 + chunk]
-            # Fresh host buffers per chunk: device transfers are async and
-            # must not observe mutation for the next chunk.
-            src_b = np.zeros((chunk, n_pad), np.uint32)
-            dst_b = np.zeros((chunk, m_pad), np.uint32)
-            vsrc_b = np.zeros((chunk, n_pad), bool)
-            lsrc_b = np.zeros((chunk, n_pad), bool)
-            vdst_b = np.zeros((chunk, m_pad), bool)
-            ldst_b = np.zeros((chunk, m_pad), bool)
+            # Padding lanes point at episode slot 0 with an unreachable
+            # min-run, so they can never produce candidates.
+            ia_b = np.zeros((chunk,), np.int32)
+            ib_b = np.zeros((chunk,), np.int32)
             lm_b = np.full((chunk,), np.iinfo(np.int32).max, np.int32)
             for r, (p_idx, a, b) in enumerate(batch):
                 sa, sb = sides[a], sides[b]
-                nv, mv = len(sa.hashes), len(sb.hashes)
-                src_b[r, :nv] = sa.hashes
-                dst_b[r, :mv] = sb.hashes
-                # index 0 is never usable (the reference zeroes row/col 0)
-                vsrc_b[r, 1:nv] = True
-                vdst_b[r, 1:mv] = True
-                lsrc_b[r, nv - 1] = nv > 1
-                ldst_b[r, mv - 1] = mv > 1
+                ia_b[r] = ep_slot[a]
+                ib_b[r] = ep_slot[b]
                 lm = max(
                     -(-min_dur_ns // sa.max_spacing),
                     -(-min_dur_ns // sb.max_spacing),
                 )
                 lm_b[r] = min(lm, np.iinfo(np.int32).max)
 
-            out = _batch_tiles(
-                shard_batch(src_b)[0],
-                shard_batch(dst_b)[0],
-                shard_batch(vsrc_b)[0],
-                shard_batch(lsrc_b)[0],
-                shard_batch(vdst_b)[0],
-                shard_batch(ldst_b)[0],
+            out = _batch_tiles_indexed(
+                table_d,
+                vtab_d,
+                ltab_d,
+                shard_batch(ia_b)[0],
+                shard_batch(ib_b)[0],
                 shard_batch(lm_b)[0],
                 threshold,
                 n_pad,
-                m_pad,
             )
             launched.append((batch, out))
 

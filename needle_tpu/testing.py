@@ -32,15 +32,24 @@ def write_wav_i16(path, samples: np.ndarray, rate: int, channels: int = 1) -> No
 
 
 def _music_like(rng: np.random.Generator, n: int, rate: int) -> np.ndarray:
-    """Pseudo-music: random chord progression + noise floor, float in [-1,1]."""
+    """Pseudo-music: random chromatic chord progression + noise, in [-1,1].
+
+    Notes are drawn from the full 12-semitone chromatic scale with random
+    octaves and detuning so independent streams occupy DIFFERENT chroma
+    bins — two unrelated segments must not look alike to a chroma-based
+    fingerprint (with only a few base notes, cross-episode Hamming
+    distances sit near the default match threshold and any matcher — the
+    reference's included — over-extends matched runs into the background)."""
     t = np.arange(n) / rate
     out = np.zeros(n)
     # chord changes every ~2 s
     seg = 2 * rate
-    base_freqs = np.array([220.0, 261.6, 329.6, 392.0, 440.0, 493.9])
     for s in range(0, n, seg):
         e = min(n, s + seg)
-        freqs = rng.choice(base_freqs, size=3, replace=False) * rng.choice([0.5, 1.0, 2.0])
+        semis = rng.choice(12, size=3, replace=False)
+        octaves = rng.choice([0.5, 1.0, 1.0, 2.0], size=3)
+        detune = rng.uniform(0.99, 1.01, size=3)
+        freqs = 220.0 * (2.0 ** (semis / 12.0)) * octaves * detune
         amps = rng.uniform(0.1, 0.3, size=3)
         for fq, a in zip(freqs, amps):
             out[s:e] += a * np.sin(2 * np.pi * fq * t[s:e] + rng.uniform(0, 2 * np.pi))

@@ -89,8 +89,10 @@ def test_jax_search_engine_matches_numpy_engine(tmp_path):
 
 def test_jax_engine_end_to_end_cli(tmp_path):
     d = tmp_path / "season"
+    # episode/window sizing: the 25% ending search window (35 s here) must
+    # fully contain the ending (25 s + up to 4 s end gap)
     _, op_truth, end_truth = make_synthetic_season(
-        d, num_episodes=3, episode_secs=100, opening_secs=25, ending_secs=22, seed=99
+        d, num_episodes=3, episode_secs=140, opening_secs=25, ending_secs=25, seed=99
     )
     assert main(["analyze", "--backend", "jax", "--include-endings", str(d)]) == 0
     assert (
