@@ -78,11 +78,12 @@ def build_season():
 
 
 def warm_device():
-    """Absorb tunnel/compile cold-start before timing: small round trips
-    until the device answers quickly."""
+    """Absorb transport cold-start before timing: the first device->host
+    transfer of a process can stall for minutes on tunneled TPU transports;
+    loop small round trips until the device answers quickly."""
     import jax
 
-    deadline = time.time() + 300
+    deadline = time.time() + 900
     while time.time() < deadline:
         t0 = time.time()
         np.asarray(jax.device_put(np.ones(64, np.float32)) * 2.0)

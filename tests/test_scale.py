@@ -1,0 +1,84 @@
+"""Large-library scale paths: episode-table bucketing, chunked pair search,
+streaming analyze waves, process-level sharding helpers."""
+
+import numpy as np
+import pytest
+
+from needle_tpu.data import FrameHashes
+from needle_tpu.duration import Duration
+
+
+def _mk_frame_hashes(rng, n_eps, n_hashes=300, shared=None, shared_at=None):
+    """Synthetic FrameHashes; optionally splice a shared hash run."""
+    out = []
+    step = 247619033  # ~0.248 s in ns, matching hash_duration 0.3 stepping
+    for e in range(n_eps):
+        h = rng.integers(0, 2**32, size=n_hashes, dtype=np.uint32)
+        if shared is not None:
+            at = shared_at[e]
+            h[at : at + len(shared)] = shared
+        ts = (2600090703 + np.arange(n_hashes) * step).astype(np.int64)
+        out.append(
+            FrameHashes(
+                h, ts, np.zeros(0, np.uint32), np.zeros(0, np.int64),
+                Duration.from_millis(300), f"{e:032x}",
+            )
+        )
+    return out
+
+
+def test_search_100_episodes_finds_shared_run(rng):
+    """100 episodes -> 4950 pairs through the chunked device path; every
+    episode shares one 80-hash run (~20 s) at varying offsets."""
+    from needle_tpu import Comparator
+
+    n_eps = 100
+    shared = rng.integers(0, 2**32, size=80, dtype=np.uint32)
+    shared_at = [10 + (e % 7) * 20 for e in range(n_eps)]
+    fhs = _mk_frame_hashes(rng, n_eps, shared=shared, shared_at=shared_at)
+    cmp = Comparator.from_files(
+        [f"ep{k:03}.mkv" for k in range(n_eps)], engine="jax"
+    ).with_min_opening_duration(Duration.from_secs(15))
+    results = cmp.run_with_frame_hashes(
+        fhs, display=False, use_skip_files=False, write_skip_files=False
+    )
+    found = sum(1 for r in results if r.opening is not None)
+    assert found == n_eps, f"only {found}/{n_eps} episodes matched"
+
+
+def test_search_no_false_positives_at_scale(rng):
+    """Unrelated random hash streams must not match (5050-pair smoke)."""
+    from needle_tpu import Comparator
+
+    fhs = _mk_frame_hashes(rng, 40, n_hashes=200)
+    cmp = Comparator.from_files([f"e{k}.mkv" for k in range(40)], engine="jax")
+    results = cmp.run_with_frame_hashes(
+        fhs, display=False, use_skip_files=False, write_skip_files=False
+    )
+    assert all(r.opening is None for r in results)
+
+
+def test_streaming_analyze_waves(tmp_path, monkeypatch):
+    """More episodes than STREAM_BLOCK processes in multiple bounded waves."""
+    from needle_tpu import Analyzer
+    from needle_tpu.testing import make_synthetic_season
+
+    make_synthetic_season(
+        tmp_path, num_episodes=5, episode_secs=30, opening_secs=8, seed=55
+    )
+    paths = sorted(tmp_path.glob("*.wav"))
+    monkeypatch.setattr(Analyzer, "STREAM_BLOCK", 2)  # force 3 waves
+    fhs = Analyzer.from_files(paths, backend="jax").run(
+        Duration.from_secs_f32(np.float32(0.3)), persist=False
+    )
+    assert len(fhs) == 5
+    assert all(len(f.opening_hashes) > 0 for f in fhs)
+
+
+def test_local_shard_partitions_completely():
+    from needle_tpu.parallel import distributed as dist
+
+    items = [f"ep{k}" for k in range(11)]
+    # single-process: everything lands on this process
+    assert dist.local_shard(items) == items
+    assert dist.is_coordinator()
