@@ -222,7 +222,10 @@ def main(argv=None) -> int:
             .with_include_endings(args.include_endings)
         )
         hash_duration = Duration.from_secs_f32(np.float32(args.hash_duration))
-        analyzer.run(hash_duration, True, not args.no_threading)
+        try:
+            analyzer.run(hash_duration, True, not args.no_threading)
+        except Error as e:
+            _error_exit(str(e))
         return 0
 
     if args.command == "search":
@@ -242,13 +245,16 @@ def main(argv=None) -> int:
             .with_min_ending_duration(Duration.from_secs(args.min_ending_duration))
             .with_time_padding(Duration.from_secs_f32(np.float32(args.time_padding)))
         )
-        comparator.run(
-            args.analyze,
-            not args.no_display,
-            args.use_skip_files,
-            args.write_skip_files,
-            not args.no_threading,
-        )
+        try:
+            comparator.run(
+                args.analyze,
+                not args.no_display,
+                args.use_skip_files,
+                args.write_skip_files,
+                not args.no_threading,
+            )
+        except Error as e:
+            _error_exit(str(e))
         return 0
 
     return 0
