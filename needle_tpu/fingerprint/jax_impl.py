@@ -320,11 +320,27 @@ def fingerprint_ingest_jax_batch(
             )
             launched.append((lane_idxs, out))
 
-    for lane_idxs, out in launched:
-        host = np.asarray(out)
-        for r, si in enumerate(lane_idxs):
-            results[si] = host[r, : out_lens[si]].astype(np.uint32)
+    _collect_lanes(launched, out_lens, results)
     return results
+
+
+def _collect_lanes(launched, out_lens, results) -> None:
+    """Download chunk outputs with one transfer per output width —
+    tunneled transports charge per round trip, so per-chunk downloads
+    would dominate for large libraries."""
+    by_width: dict = {}
+    for lane_idxs, out in launched:
+        by_width.setdefault(out.shape[1], []).append((lane_idxs, out))
+    for width, items in by_width.items():
+        if len(items) > 1:
+            host_all = np.asarray(jnp.concatenate([o for _, o in items]))
+        else:
+            host_all = np.asarray(items[0][1])
+        row0 = 0
+        for lane_idxs, out in items:
+            for r, si in enumerate(lane_idxs):
+                results[si] = host_all[row0 + r, : out_lens[si]].astype(np.uint32)
+            row0 += out.shape[0]
 
 
 def _bucket_frames(n_frames: int) -> int:
@@ -404,8 +420,5 @@ def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
             out = _fingerprint_core_batched(device_batch, *tables, nf_b)
             launched.append((lane_idxs, out))
 
-    for lane_idxs, out in launched:
-        host = np.asarray(out)
-        for r, si in enumerate(lane_idxs):
-            results[si] = host[r, : n_subs[si]].astype(np.uint32)
+    _collect_lanes(launched, n_subs, results)
     return results

@@ -373,11 +373,29 @@ class JaxSearchEngine:
             "search.collect", side="opening" if is_opening else "ending"
         )
         collect_span.__enter__()
-        for batch, (vals_dev, idx_dev, total_dev, maxc_dev) in launched:
-            vals = np.asarray(vals_dev).astype(np.int64)
-            idxs = np.asarray(idx_dev)
-            totals = np.asarray(total_dev)
-            maxcs = np.asarray(maxc_dev)
+        # Coalesce chunk outputs on device and download each output kind
+        # ONCE — tunneled transports charge per round trip, so per-chunk
+        # downloads dominate wall time for large pair counts.
+        if len(launched) > 1:
+            vals_all = np.asarray(
+                jnp.concatenate([o[0] for _, o in launched])
+            ).astype(np.int64)
+            idx_all = np.asarray(jnp.concatenate([o[1] for _, o in launched]))
+            tot_all = np.asarray(jnp.concatenate([o[2] for _, o in launched]))
+            max_all = np.asarray(jnp.concatenate([o[3] for _, o in launched]))
+        else:
+            o = launched[0][1]
+            vals_all = np.asarray(o[0]).astype(np.int64)
+            idx_all, tot_all, max_all = (
+                np.asarray(o[1]), np.asarray(o[2]), np.asarray(o[3])
+            )
+        row0 = 0
+        for batch, _ in launched:
+            vals = vals_all[row0 : row0 + chunk]
+            idxs = idx_all[row0 : row0 + chunk]
+            totals = tot_all[row0 : row0 + chunk]
+            maxcs = max_all[row0 : row0 + chunk]
+            row0 += chunk
 
             for r, (p_idx, a, b) in enumerate(batch):
                 if maxcs[r] > 1 or totals[r] > K_TOP:
