@@ -14,17 +14,16 @@ Key ideas:
     (n_pad x D_TILE) tile, so one compiled shape serves any library size,
     memory stays bounded regardless of episode count, and the item axis is
     the natural axis to vmap/shard over TPU meshes.
-  * Per-diagonal results are reduced with a single uint32 max over
-    key = run_length * n_pad + i (no variadic argmax: its (N, 2) pair temp
-    tiles catastrophically on TPU), plus a candidate count.
-  * Run ends + the reference's row-0/column-0 zeroing quirk are applied
-    exactly; candidates are pre-filtered by a conservative run-length bound
-    derived from real timestamp spacing. The exact min-duration check,
-    simhash, walk ordering, and Rust-BinaryHeap emulation happen on host
-    over the tiny candidate set, so RunEntry lists are identical to the
-    NumPy oracle. If any diagonal holds more than one candidate (possible
-    only with repeated >=min-duration audio at the same offset), that pair
-    falls back to the oracle — exactness is never sacrificed.
+  * Episode hashes live in a device-resident table uploaded once per
+    search; pairs are (src, dst) index lists vmapped in fixed-size chunks,
+    so transfers scale with episodes + pairs, not episodes x pairs.
+  * The device reduces each pair to a u8 per-diagonal candidate-count
+    vector (runs >= a conservative length bound, with the reference's
+    row-0/column-0 zeroing applied exactly); the host rescans ONLY the
+    flagged diagonals — O(n) each — to recover exact candidates, then the
+    exact min-duration check, simhash, walk ordering, and Rust-BinaryHeap
+    emulation run over that tiny set, so RunEntry lists are identical to
+    the NumPy oracle with no O(n*m) fallback ever needed.
 """
 
 from __future__ import annotations
@@ -73,8 +72,11 @@ def _tile_runs(src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_
       vdst/ldst: same for dst.
 
     Diagonals are indexed by the raw offset o = j - i; this tile covers
-    o in [d0, d0 + D_TILE). Returns per-diagonal
-    (best_key = run * n_pad + i + 1, candidate count); 0 = no candidate.
+    o in [d0, d0 + D_TILE). Returns the per-diagonal count of run-end
+    candidates with run >= l_min (a conservative hash-count bound for the
+    min duration); the host rescans ONLY flagged diagonals — O(n) each —
+    to extract exact candidates, so no information is lost to compaction
+    and no O(n*m) fallback is ever needed.
     """
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, D_TILE), 0)
     o_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, D_TILE), 1) + d0
@@ -100,39 +102,25 @@ def _tile_runs(src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_
     ends = S & (at_boundary | ~S_next)
     cand = ends & (run >= l_min)
 
-    key = jnp.where(
-        cand,
-        run.astype(jnp.uint32) * jnp.uint32(n_pad) + i_idx.astype(jnp.uint32) + 1,
-        jnp.uint32(0),
-    )
-    return jnp.max(key, axis=0), jnp.sum(cand.astype(jnp.int32), axis=0)
-
-
-# Max candidates extracted per pair on device; more -> oracle fallback.
-K_TOP = 32
+    return jnp.sum(cand.astype(jnp.int32), axis=0)
 
 
 def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m_pad):
     """All diagonal tiles of one pair, unrolled over a static d0 grid
     covering the full padded offset range [-(n_pad-1), m_pad-1].
 
-    Compacts results on device: top-K candidate keys with their diagonal
-    indices, plus (total candidates, max per-diagonal count) for overflow
-    detection — keeping the host download tiny.
+    Returns per-diagonal candidate counts as a compact u8 vector (saturated
+    at 255; the host only needs "which diagonals have candidates").
     """
-    keys, counts = [], []
+    counts = []
     d0 = -(n_pad - 1)
     while d0 <= m_pad - 1:
-        k, c = _tile_runs(
+        c = _tile_runs(
             src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_pad
         )
-        keys.append(k)
         counts.append(c)
         d0 += D_TILE
-    all_keys = jnp.concatenate(keys)
-    all_counts = jnp.concatenate(counts)
-    top_vals, top_idx = jax.lax.top_k(all_keys, K_TOP)
-    return top_vals, top_idx.astype(jnp.int32), jnp.sum(all_counts), jnp.max(all_counts)
+    return jnp.minimum(jnp.concatenate(counts), 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
@@ -154,6 +142,37 @@ def _batch_tiles_indexed(table, vtab, ltab, ia_b, ib_b, lm_b, threshold, n_pad):
 def grid_base(n_pad: int) -> int:
     """First diagonal offset of the static tile grid."""
     return -(n_pad - 1)
+
+
+def _diag_candidates(
+    hs: np.ndarray, hd: np.ndarray, off: int, threshold: int
+) -> List[Tuple[int, int, int]]:
+    """All run-end candidates (i, j, run_len) along one diagonal j = i + off.
+
+    O(n) host rescan with semantics identical to the device kernel and the
+    reference DP: indices start at 1 (the reference zeroes row/col 0 of its
+    table, comparator.rs:179), a run ends where the next cell mismatches or
+    either sequence ends. Min-duration filtering happens later against real
+    timestamps (_entries_from_candidates), exactly as the reference does.
+    """
+    from .oracle import popcount_u32
+
+    n, m = len(hs), len(hd)
+    lo, hi = max(1, 1 - off), min(n, m - off)
+    if hi <= lo:
+        return []
+    i = np.arange(lo, hi)
+    match = popcount_u32(hs[i] ^ hd[i + off]) <= threshold
+    if not match.any():
+        return []
+    c = np.cumsum(match)
+    z = np.where(match, 0, c)
+    run = c - np.maximum.accumulate(z)
+    ends = match & np.append(~match[1:], True)
+    pos = np.flatnonzero(ends)
+    return [
+        (int(i[p]), int(i[p] + off), int(run[p])) for p in pos
+    ]
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -274,16 +293,6 @@ class JaxSearchEngine:
             )
         )
         m_pad = n_pad
-        if n_pad > 65534:
-            # uint32 key = run * n_pad + i + 1 would overflow; such sequences
-            # (>2.2h of audio per segment side) fall back to the oracle.
-            for p_idx, a, b in work:
-                results[p_idx] = longest_common_hash_match(
-                    sides[a].hashes, sides[a].ts, sides[b].hashes, sides[b].ts,
-                    hash_durations[a], hash_durations[b], is_opening, threshold,
-                    comparator.min_opening_duration, comparator.min_ending_duration,
-                )
-            return results
 
         # Per-pair device work; validity/boundary carried by bool arrays so
         # every traced value in the kernel's index math is a constant.
@@ -298,7 +307,6 @@ class JaxSearchEngine:
         chunk = min(chunk, pow2)
 
         pair_cands: Dict[int, List[Tuple[int, int, int]]] = {}
-        pair_overflow: Dict[int, bool] = {}
         d_base = -(n_pad - 1)
 
         # Launch every chunk asynchronously (JAX queues dispatches), then
@@ -373,73 +381,42 @@ class JaxSearchEngine:
             "search.collect", side="opening" if is_opening else "ending"
         )
         collect_span.__enter__()
-        # Coalesce chunk outputs on device and download each output kind
-        # ONCE — tunneled transports charge per round trip, so per-chunk
+        # Coalesce chunk outputs on device and download ONE u8 count matrix
+        # — tunneled transports charge per round trip, so per-chunk
         # downloads dominate wall time for large pair counts.
         if len(launched) > 1:
-            vals_all = np.asarray(
-                jnp.concatenate([o[0] for _, o in launched])
-            ).astype(np.int64)
-            idx_all = np.asarray(jnp.concatenate([o[1] for _, o in launched]))
-            tot_all = np.asarray(jnp.concatenate([o[2] for _, o in launched]))
-            max_all = np.asarray(jnp.concatenate([o[3] for _, o in launched]))
+            counts_all = np.asarray(jnp.concatenate([o for _, o in launched]))
         else:
-            o = launched[0][1]
-            vals_all = np.asarray(o[0]).astype(np.int64)
-            idx_all, tot_all, max_all = (
-                np.asarray(o[1]), np.asarray(o[2]), np.asarray(o[3])
-            )
+            counts_all = np.asarray(launched[0][1])
         row0 = 0
         for batch, _ in launched:
-            vals = vals_all[row0 : row0 + chunk]
-            idxs = idx_all[row0 : row0 + chunk]
-            totals = tot_all[row0 : row0 + chunk]
-            maxcs = max_all[row0 : row0 + chunk]
+            counts = counts_all[row0 : row0 + chunk]
             row0 += chunk
-
             for r, (p_idx, a, b) in enumerate(batch):
-                if maxcs[r] > 1 or totals[r] > K_TOP:
-                    # >1 candidate on a diagonal (device keeps only the best
-                    # per diagonal) or more candidates than extracted.
-                    pair_overflow[p_idx] = True
+                hit = np.flatnonzero(counts[r])
+                if len(hit) == 0:
                     continue
-                hit = vals[r] > 0
-                if not hit.any():
-                    continue
-                keys = vals[r][hit]
-                runs = (keys - 1) // n_pad
-                iis = (keys - 1) % n_pad
-                offs = idxs[r][hit].astype(np.int64) + d_base
+                sa, sb = sides[a], sides[b]
                 lst = pair_cands.setdefault(p_idx, [])
-                for run_l, i_v, o_v in zip(runs, iis, offs):
-                    lst.append((int(i_v), int(i_v + o_v), int(run_l)))
+                for pos in hit:
+                    lst.extend(
+                        _diag_candidates(
+                            sa.hashes, sb.hashes, int(pos) + d_base, threshold
+                        )
+                    )
         collect_span.__exit__(None, None, None)
 
         for p_idx, a, b in work:
             sa, sb = sides[a], sides[b]
-            if pair_overflow.get(p_idx):
-                results[p_idx] = longest_common_hash_match(
-                    sa.hashes,
-                    sa.ts,
-                    sb.hashes,
-                    sb.ts,
-                    hash_durations[a],
-                    hash_durations[b],
-                    is_opening,
-                    threshold,
-                    comparator.min_opening_duration,
-                    comparator.min_ending_duration,
-                )
-            else:
-                results[p_idx] = self._entries_from_candidates(
-                    sa,
-                    sb,
-                    pair_cands.get(p_idx, []),
-                    hash_durations[a],
-                    hash_durations[b],
-                    is_opening,
-                    min_dur_ns,
-                )
+            results[p_idx] = self._entries_from_candidates(
+                sa,
+                sb,
+                pair_cands.get(p_idx, []),
+                hash_durations[a],
+                hash_durations[b],
+                is_opening,
+                min_dur_ns,
+            )
         return results
 
     def search_pairs(self, comparator, frame_hashes, pairs):
