@@ -1,4 +1,4 @@
-"""Shared JAX configuration: persistent compilation cache.
+"""Shared JAX configuration: persistent compilation cache + transport probe.
 
 First TPU compiles of the fingerprint/search programs take tens of seconds;
 the persistent cache makes subsequent processes (CLI runs, benchmarks) start
@@ -6,10 +6,37 @@ hot. Import this module before any jitted call.
 """
 
 import os
+import time
 
 import jax
 
 _initialized = False
+_h2d_bandwidth = None
+
+
+def h2d_bandwidth_mb_s() -> float:
+    """Measured host->device bandwidth (MB/s), probed once per process with
+    a 16 MB transfer. Tunneled transports vary by >50x between sessions;
+    ingest strategies (e.g. host decimation before upload) adapt to this.
+    Override with NEEDLE_TPU_H2D_MBS for testing."""
+    global _h2d_bandwidth
+    if _h2d_bandwidth is None:
+        env = os.environ.get("NEEDLE_TPU_H2D_MBS")
+        if env:
+            _h2d_bandwidth = float(env)
+            return _h2d_bandwidth
+        try:
+            import numpy as np
+
+            x = np.zeros(8 << 20, np.int16)  # 16 MB
+            jax.device_put(x[:128]).block_until_ready()  # connection setup
+            t0 = time.perf_counter()
+            jax.device_put(x).block_until_ready()
+            dt = max(time.perf_counter() - t0, 1e-6)
+            _h2d_bandwidth = x.nbytes / 1e6 / dt
+        except Exception:
+            _h2d_bandwidth = 1e9  # assume fast when unprobeable
+    return _h2d_bandwidth
 
 
 def ensure() -> None:

@@ -216,6 +216,19 @@ class Analyzer:
             )
             n_skip = int((seek_to.as_millis() / 1000.0) * rate) * channels
             ending_raw = samples[n_skip:]
+
+        # Band-limited host decimation: chroma only uses <= ~3520 Hz, so
+        # decimating to >= 8 kHz before upload halves-to-quarters the bytes
+        # on the host->device pipe with no information loss for the hashes.
+        # Only worth the host CPU when the transport is the bottleneck.
+        from ._jax_setup import h2d_bandwidth_mb_s
+        from .fingerprint.decimate import decimation_factor, host_decimate
+
+        if decimation_factor(rate) > 1 and h2d_bandwidth_mb_s() < 60.0:
+            opening_raw, new_rate = host_decimate(opening_raw, rate, channels)
+            if ending_raw is not None:
+                ending_raw, _ = host_decimate(ending_raw, rate, channels)
+            rate = new_rate
         return opening_raw, ending_raw, rate, channels, seek_to
 
     # -- hash assembly (analyzer.rs:286-318) -----------------------------------
@@ -417,29 +430,31 @@ class Analyzer:
                 seek_to,
             )
 
-        with span("analyze.decode", videos=len(videos)):
-            if threading and len(videos) > 1:
-                with ThreadPoolExecutor() as pool:
-                    prepped = list(pool.map(prepare, videos))
-            else:
-                prepped = [prepare(p) for p in videos]
+        # Stream: as each episode's read/decode completes, its segments are
+        # fed to the device dispatchers immediately — full lane chunks
+        # dispatch asynchronously, so host reads ride under the
+        # host->device transfers instead of serializing before them.
+        from .fingerprint.jax_impl import IngestDispatcher
 
-        # Collect segments per pipeline: mono-11025 batches and raw-PCM
-        # groups keyed by (rate, channels).
         mono_segments: List[np.ndarray] = []
         mono_refs: List[tuple] = []  # (video_idx, "opening"/"ending")
-        raw_groups: dict = {}  # (rate, channels) -> (segments, refs)
-        for vi, item in enumerate(prepped):
+        raw_dispatchers: dict = {}  # (rate, channels) -> IngestDispatcher
+        prepped: List[tuple] = []
+
+        def consume(vi: int, item: tuple) -> None:
+            prepped.append(item)
             if item[0] == "cached":
-                continue
+                return
             if item[0] == "raw":
                 _, _, op_raw, en_raw, _, rate, channels = item
-                segs, refs = raw_groups.setdefault((rate, channels), ([], []))
-                segs.append(op_raw)
-                refs.append((vi, "opening"))
+                d = raw_dispatchers.get((rate, channels))
+                if d is None:
+                    d = raw_dispatchers[(rate, channels)] = IngestDispatcher(
+                        rate, channels
+                    )
+                d.add((vi, "opening"), op_raw)
                 if en_raw is not None:
-                    segs.append(en_raw)
-                    refs.append((vi, "ending"))
+                    d.add((vi, "ending"), en_raw)
             else:
                 _, _, opening_mono, ending_mono, _ = item
                 mono_segments.append(opening_mono)
@@ -448,18 +463,26 @@ class Analyzer:
                     mono_segments.append(ending_mono)
                     mono_refs.append((vi, "ending"))
 
+        with span("analyze.decode", videos=len(videos)):
+            if threading and len(videos) > 1:
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    for vi, item in enumerate(pool.map(prepare, videos)):
+                        consume(vi, item)
+            else:
+                for vi, path in enumerate(videos):
+                    consume(vi, prepare(path))
+
         hashes_by_ref = {}
         with span(
             "analyze.fingerprint",
             mono=len(mono_segments),
-            raw=sum(len(s) for s, _ in raw_groups.values()),
+            raw=sum(len(d._out_lens) for d in raw_dispatchers.values()),
         ):
             if mono_segments:
                 outs = fingerprint_jax_batch(mono_segments)
                 hashes_by_ref.update(dict(zip(mono_refs, outs)))
-            for (rate, channels), (segs, refs) in raw_groups.items():
-                outs = fingerprint_ingest_jax_batch(segs, rate, channels)
-                hashes_by_ref.update(dict(zip(refs, outs)))
+            for d in raw_dispatchers.values():
+                hashes_by_ref.update(d.finish())
 
         results: List[FrameHashes] = []
         with span("analyze.assemble"):

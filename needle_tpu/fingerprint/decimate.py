@@ -1,0 +1,76 @@
+"""Host-side band-limited decimation before device upload.
+
+Chromaprint's chroma fold only consumes spectral bins up to ~3520 Hz
+(constants.chroma_bin_ranges), so any representation with >= ~8 kHz sample
+rate carries every bit of information the fingerprint uses. On transports
+where host->device bandwidth is the analyze bottleneck, decimating
+16 kHz/44.1 kHz/48 kHz sources by an integer factor on host (a cheap
+polyphase FIR) halves-to-quarters the uploaded bytes with no effect on
+which chroma content the device sees; the device's polyphase resampler
+then takes the decimated rate to 11025 Hz as usual.
+
+The FIR is linear-phase with its group delay compensated, so output sample
+k sits exactly at input time k*f — timestamps are unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+# Highest chroma band edge (constants.chroma_bin_ranges: bins up to
+# ~3520 Hz) plus transition headroom.
+_MIN_RATE = 8000
+_HALF_TAPS = 32
+
+
+def decimation_factor(in_rate: int) -> int:
+    """Largest small integer factor keeping the decimated rate >= 8 kHz."""
+    for f in (4, 3, 2):
+        if in_rate % f == 0 and in_rate // f >= _MIN_RATE:
+            return f
+    return 1
+
+
+@functools.lru_cache(maxsize=8)
+def _fir(in_rate: int, f: int) -> np.ndarray:
+    """Anti-alias lowpass for decimation by f: cutoff at the new Nyquist,
+    kaiser(9) windowed sinc, 2H+1 taps, unit DC gain."""
+    h_idx = np.arange(-_HALF_TAPS, _HALF_TAPS + 1, dtype=np.float64)
+    fc = 1.0 / (2.0 * f) * 0.94
+    taps = 2.0 * fc * np.sinc(2.0 * fc * h_idx)
+    taps *= np.kaiser(2 * _HALF_TAPS + 1, 9.0)
+    taps /= taps.sum()
+    return taps.astype(np.float32)
+
+
+def host_decimate(
+    x: np.ndarray, in_rate: int, channels: int = 1
+) -> Tuple[np.ndarray, int]:
+    """Decimate interleaved i16 PCM by decimation_factor(in_rate).
+
+    Returns (decimated i16, new_rate); a no-op passthrough when no useful
+    factor exists (e.g. already <= 11025 Hz sources).
+    """
+    f = decimation_factor(in_rate)
+    if f == 1 or len(x) < f * channels:
+        return x, in_rate
+    from scipy.signal import upfirdn
+
+    h = _fir(in_rate, f)
+    if channels == 1:
+        y = upfirdn(h, x.astype(np.float32), up=1, down=f)
+        # trim the group delay (H/f) and the filter tail
+        lead = _HALF_TAPS // f
+        y = y[lead : lead + len(x) // f]
+        return np.clip(np.rint(y), -32768, 32767).astype(np.int16), in_rate // f
+    frames = x.reshape(-1, channels)
+    outs = []
+    for c in range(channels):
+        y = upfirdn(h, frames[:, c].astype(np.float32), up=1, down=f)
+        lead = _HALF_TAPS // f
+        outs.append(y[lead : lead + frames.shape[0] // f])
+    out = np.stack(outs, axis=1).reshape(-1)
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16), in_rate // f

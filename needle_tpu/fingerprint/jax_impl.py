@@ -131,11 +131,32 @@ def _fingerprint_core_batched(batch_i16, wc, ws, fold, W_cls, thresholds, n_fram
     )(batch_i16)
 
 
+import os as _os
+
+# Spectral backend: "matmul" (windowed DFT as two MXU matmuls — default) or
+# "fft" (window multiply + jnp.fft.rfft). Both produce f32 energies; which
+# is faster depends on generation/compiler, so it is env-switchable for
+# benchmarking (NEEDLE_TPU_SPECTRAL=fft).
+_SPECTRAL = _os.environ.get("NEEDLE_TPU_SPECTRAL", "matmul")
+
+
+@functools.lru_cache(maxsize=1)
+def _window_np() -> np.ndarray:
+    """Hamming window as a host constant (16 KB; embeds in the program)."""
+    return hamming_window(FRAME_SIZE, WINDOW_SCALE).astype(np.float32)
+
+
 def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames):
     frames = _frames_from_padded(mono_f32, n_frames)
-    re = jnp.dot(frames, wc, precision=_PREC)
-    im = jnp.dot(frames, ws, precision=_PREC)
-    energy = re * re + im * im
+    if _SPECTRAL == "fft":
+        min_idx, max_idx, _ = chroma_bin_ranges()
+        spec = jnp.fft.rfft(frames * _window_np()[None, :])
+        spec = spec[:, min_idx:max_idx]
+        energy = spec.real * spec.real + spec.imag * spec.imag
+    else:
+        re = jnp.dot(frames, wc, precision=_PREC)
+        im = jnp.dot(frames, ws, precision=_PREC)
+        energy = re * re + im * im
     chroma = jnp.dot(energy, fold, precision=_PREC)
     n_filt = n_frames - (len(CHROMA_FILTER_COEFFS) - 1)
     filtered = jnp.zeros((n_filt, NUM_BANDS), jnp.float32)
@@ -278,50 +299,85 @@ def resampled_length(n_in: int, in_rate: int, channels: int = 1) -> int:
     return (n_in // channels) * L // M
 
 
+class IngestDispatcher:
+    """Incremental device-ingest dispatcher: segments stream in (e.g. as a
+    host thread pool finishes file reads), full lane chunks dispatch
+    IMMEDIATELY (async), and finish() flushes partial chunks and collects
+    every output with coalesced downloads. On slow transports the
+    host->device transfer is the wall, so file reads and device hashing
+    ride under it instead of serializing behind it."""
+
+    def __init__(self, in_rate: int, channels: int = 1):
+        self.in_rate = in_rate
+        self.channels = channels
+        self._rs_mat = _rs_device_matrix(in_rate)
+        self._tables = _device_tables()
+        self._pending: dict = {}  # nf_bucket -> (refs, segments)
+        self._launched: list = []  # (refs, device_out)
+        self._out_lens: dict = {}  # ref -> n_sub
+        self._empty: dict = {}  # ref -> empty result
+
+    def add(self, ref, segment: np.ndarray) -> None:
+        segment = np.asarray(segment, dtype=np.int16)
+        n_res = resampled_length(len(segment), self.in_rate, self.channels)
+        n_sub = num_subfingerprints(n_res)
+        if n_sub <= 0:
+            self._empty[ref] = np.zeros(0, np.uint32)
+            return
+        self._out_lens[ref] = n_sub
+        nf_b = _bucket_frames(num_frames(n_res))
+        refs, segs = self._pending.setdefault(nf_b, ([], []))
+        refs.append(ref)
+        segs.append(segment)
+        if len(refs) >= LANES:
+            self._dispatch(nf_b)
+
+    def _dispatch(self, nf_b: int) -> None:
+        refs, segs = self._pending.pop(nf_b)
+        _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
+        in_len *= self.channels
+        batch = np.zeros((LANES, in_len), np.int16)
+        for r, s in enumerate(segs):
+            batch[r, : min(len(s), in_len)] = s[:in_len]
+        out = _ingest_fingerprint_batched(
+            jnp.asarray(batch), self._rs_mat, *self._tables,
+            self.in_rate, self.channels, nf_b,
+        )
+        self._launched.append((refs, out))
+
+    def finish(self) -> dict:
+        """Flush partial chunks, collect everything. Returns ref->hashes."""
+        for nf_b in list(self._pending):
+            self._dispatch(nf_b)
+        flat_refs: List = []
+        lane_lists = []
+        for refs, out in self._launched:
+            lane_ids = list(range(len(flat_refs), len(flat_refs) + len(refs)))
+            flat_refs.extend(refs)
+            lane_lists.append((lane_ids, out))
+        out_lens = [self._out_lens[r] for r in flat_refs]
+        flat_results: List = [None] * len(flat_refs)
+        if lane_lists:
+            _collect_lanes(lane_lists, out_lens, flat_results)
+        results = dict(self._empty)
+        results.update(zip(flat_refs, flat_results))
+        self._launched, self._pending, self._empty = [], {}, {}
+        return results
+
+
 def fingerprint_ingest_jax_batch(
     segments: Sequence[np.ndarray], in_rate: int, channels: int = 1
 ) -> List[np.ndarray]:
     """Fingerprint raw-PCM segments (i16 at in_rate, interleaved if stereo)
     entirely on device: downmix + resample + hash in one fused program,
     dispatched in fixed-size lane chunks grouped by length bucket."""
-    segments = [np.asarray(s, dtype=np.int16) for s in segments]
     if not segments:
         return []
-    out_lens = [
-        num_subfingerprints(resampled_length(len(s), in_rate, channels))
-        for s in segments
-    ]
-    results: List[np.ndarray] = [None] * len(segments)  # type: ignore
-
-    # Group by frame bucket.
-    groups: dict = {}
+    d = IngestDispatcher(in_rate, channels)
     for idx, s in enumerate(segments):
-        n_sub = out_lens[idx]
-        if n_sub <= 0:
-            results[idx] = np.zeros(0, np.uint32)
-            continue
-        nf = num_frames(resampled_length(len(s), in_rate, channels))
-        groups.setdefault(_bucket_frames(nf), []).append(idx)
-
-    rs_mat = _rs_device_matrix(in_rate)
-    tables = _device_tables()
-    launched = []
-    for nf_b, idxs in sorted(groups.items()):
-        _, in_len, _ = _ingest_dims(in_rate, nf_b)
-        in_len *= channels
-        for c0 in range(0, len(idxs), LANES):
-            lane_idxs = idxs[c0 : c0 + LANES]
-            batch = np.zeros((LANES, in_len), np.int16)
-            for r, si in enumerate(lane_idxs):
-                s = segments[si]
-                batch[r, : min(len(s), in_len)] = s[:in_len]
-            out = _ingest_fingerprint_batched(
-                jnp.asarray(batch), rs_mat, *tables, in_rate, channels, nf_b
-            )
-            launched.append((lane_idxs, out))
-
-    _collect_lanes(launched, out_lens, results)
-    return results
+        d.add(idx, s)
+    results = d.finish()
+    return [results[i] for i in range(len(segments))]
 
 
 def _collect_lanes(launched, out_lens, results) -> None:
