@@ -147,6 +147,14 @@ def _window_np() -> np.ndarray:
 
 
 def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames):
+    if _SPECTRAL == "pallas":
+        from .pallas_impl import spectral_energy_pallas
+
+        energy = spectral_energy_pallas(
+            mono_f32, n_frames, interpret=jax.default_backend() == "cpu"
+        )
+        chroma = jnp.dot(energy, fold, precision=_PREC)
+        return _post_chroma(chroma, W_cls, thresholds, n_frames)
     frames = _frames_from_padded(mono_f32, n_frames)
     if _SPECTRAL == "fft":
         min_idx, max_idx, _ = chroma_bin_ranges()
@@ -158,6 +166,11 @@ def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames
         im = jnp.dot(frames, ws, precision=_PREC)
         energy = re * re + im * im
     chroma = jnp.dot(energy, fold, precision=_PREC)
+    return _post_chroma(chroma, W_cls, thresholds, n_frames)
+
+
+def _post_chroma(chroma, W_cls, thresholds, n_frames):
+    """Chroma filter -> normalize -> classifiers -> gray-coded u32 packing."""
     n_filt = n_frames - (len(CHROMA_FILTER_COEFFS) - 1)
     filtered = jnp.zeros((n_filt, NUM_BANDS), jnp.float32)
     for k_i, coeff in enumerate(CHROMA_FILTER_COEFFS):

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: fused framing + Hamming window + DFT energy.
+
+The XLA pipeline materializes the (n_frames, 4096) frame matrix in HBM
+(~84 MB per 10-minute lane) before the two DFT matmuls read it back. This
+kernel builds each frame block IN VMEM from the raw signal (overlapping
+4096-sample windows on a 1365 hop are three hop-rows plus one sample — a
+reshape + concat, no gathers), runs both windowed-DFT matmuls on the MXU,
+and writes only the spectral energies: HBM traffic drops from
+~3x frames-size to signal + energies.
+
+Grid: (frame_blocks, k_blocks). Per step VMEM: signal slice (~1.4 MB),
+wc/ws table tiles (2 x 2 MB), the on-the-fly frame block (~4 MB), energy
+out tile (128 KB) — comfortably under 16 MB.
+
+Selected with NEEDLE_TPU_SPECTRAL=pallas (default remains the plain-XLA
+matmul formulation); correctness is pinned by interpret-mode tests against
+the NumPy oracle stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .constants import FRAME_SIZE, HOP_SIZE
+
+F_BLK = 256  # frames per grid step
+K_BLK = 128  # spectral columns per grid step
+_ROWS = FRAME_SIZE // HOP_SIZE  # 3
+_REM = FRAME_SIZE - _ROWS * HOP_SIZE  # 1
+# signal rows needed to build F_BLK frames: F_BLK + 3 (for the +3 row shift)
+_SIG_ROWS = F_BLK + _ROWS
+_SIG_LEN = _SIG_ROWS * HOP_SIZE
+
+
+def _kernel(sig_ref, wc_ref, ws_ref, out_ref):
+    fb = pl.program_id(0)
+    sig = sig_ref[pl.ds(fb * F_BLK * HOP_SIZE, _SIG_LEN)]
+    rows = sig.reshape(_SIG_ROWS, HOP_SIZE)
+    frames = jnp.concatenate(
+        [
+            rows[:F_BLK],
+            rows[1 : F_BLK + 1],
+            rows[2 : F_BLK + 2],
+            rows[3 : F_BLK + 3, :_REM],
+        ],
+        axis=1,
+    )
+    re = jnp.dot(frames, wc_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, ws_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = re * re + im * im
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_frames", "interpret")
+)
+def dft_energy_pallas(sig_padded, wc, ws, n_frames, interpret=False):
+    """(T,) f32 signal (padded: T >= (n_frames + 4) * HOP_SIZE) ->
+    (n_frames_padded, k_padded) f32 spectral energies.
+
+    wc/ws are the windowed cos/-sin tables (4096, k) with k padded to a
+    multiple of K_BLK; callers slice the output back to the true
+    (n_frames, k) region.
+    """
+    k_pad = wc.shape[1]
+    assert k_pad % K_BLK == 0, "pad DFT tables to a K_BLK multiple"
+    nf_pad = -(-n_frames // F_BLK) * F_BLK
+    grid = (nf_pad // F_BLK, k_pad // K_BLK)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (FRAME_SIZE, K_BLK), lambda fb, kb: (0, kb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (FRAME_SIZE, K_BLK), lambda fb, kb: (0, kb),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (F_BLK, K_BLK), lambda fb, kb: (fb, kb), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nf_pad, k_pad), jnp.float32),
+        interpret=interpret,
+    )(sig_padded, wc, ws)
+
+
+@functools.lru_cache(maxsize=1)
+def _tables_k_padded():
+    """Windowed DFT tables padded on the spectral axis to a K_BLK multiple."""
+    from .jax_impl import _dft_tables
+
+    wc, ws, _ = _dft_tables()
+    k = wc.shape[1]
+    k_pad = -(-k // K_BLK) * K_BLK
+    wc_p = np.zeros((FRAME_SIZE, k_pad), np.float32)
+    ws_p = np.zeros((FRAME_SIZE, k_pad), np.float32)
+    wc_p[:, :k] = wc
+    ws_p[:, :k] = ws
+    return wc_p, ws_p, k
+
+
+def spectral_energy_pallas(
+    sig_padded, n_frames: int, interpret: bool = False
+):
+    """Drop-in spectral-energy stage: (T,) f32 -> (n_frames, n_bins) f32."""
+    wc_p, ws_p, k = _tables_k_padded()
+    nf_pad = -(-n_frames // F_BLK) * F_BLK
+    need = (nf_pad + _ROWS + 1) * HOP_SIZE
+    pad = max(0, need - sig_padded.shape[0])
+    if pad:
+        sig_padded = jnp.concatenate(
+            [sig_padded, jnp.zeros((pad,), jnp.float32)]
+        )
+    out = dft_energy_pallas(
+        sig_padded, wc_p, ws_p, n_frames, interpret=interpret
+    )
+    return out[:n_frames, :k]
