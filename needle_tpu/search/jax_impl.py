@@ -109,8 +109,10 @@ def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m
     """All diagonal tiles of one pair, unrolled over a static d0 grid
     covering the full padded offset range [-(n_pad-1), m_pad-1].
 
-    Returns per-diagonal candidate counts as a compact u8 vector (saturated
-    at 255; the host only needs "which diagonals have candidates").
+    Returns a packed u8 BITMASK over diagonals (bit set = that diagonal has
+    at least one candidate) — the host only needs "which diagonals to
+    rescan", and the mask download is 8x smaller than byte counts, which
+    matters at 10k+ pair library sizes on slow transports.
     """
     counts = []
     d0 = -(n_pad - 1)
@@ -120,7 +122,9 @@ def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m
         )
         counts.append(c)
         d0 += D_TILE
-    return jnp.minimum(jnp.concatenate(counts), 255).astype(jnp.uint8)
+    flags = (jnp.concatenate(counts) > 0).reshape(-1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, :]
+    return jnp.sum(flags.astype(jnp.uint8) * weights, axis=1, dtype=jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
@@ -393,7 +397,7 @@ class JaxSearchEngine:
             counts = counts_all[row0 : row0 + chunk]
             row0 += chunk
             for r, (p_idx, a, b) in enumerate(batch):
-                hit = np.flatnonzero(counts[r])
+                hit = np.flatnonzero(np.unpackbits(counts[r], bitorder="little"))
                 if len(hit) == 0:
                     continue
                 sa, sb = sides[a], sides[b]
