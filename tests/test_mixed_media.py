@@ -1,0 +1,93 @@
+"""Mixed-media ingestion: stereo sources, 44.1/48 kHz rates, long inputs.
+
+The device-ingest path (downmix + resample + hash fused on the
+accelerator, plus adaptive host decimation) must agree with the
+host-swresample path used by the numpy backend for any source layout.
+"""
+
+import numpy as np
+import pytest
+
+from needle_tpu import Analyzer, Comparator
+from needle_tpu.duration import Duration
+from needle_tpu.testing import _music_like, write_wav_i16
+
+
+def _stereo_wav(path, rng, secs, rate, shared=None, shared_at=0.0):
+    n = int(secs * rate)
+    left = _music_like(rng, n, rate)
+    right = 0.8 * left + 0.2 * _music_like(rng, n, rate)
+    if shared is not None:
+        at = int(shared_at * rate)
+        left[at : at + len(shared)] = shared
+        right[at : at + len(shared)] = shared
+    pcm = np.clip(
+        np.stack([left, right], axis=1) * 9000, -32768, 32767
+    ).astype(np.int16)
+    write_wav_i16(path, pcm.reshape(-1), rate, channels=2)
+
+
+@pytest.mark.parametrize("rate", [44100, 48000])
+def test_stereo_highrate_device_ingest_matches_swr(tmp_path, rng, rate):
+    shared = _music_like(rng, int(22 * rate), rate)
+    paths = []
+    for e in range(2):
+        p = tmp_path / f"ep{e}.wav"
+        _stereo_wav(p, rng, 90, rate, shared=shared, shared_at=5.0 + 3 * e)
+        paths.append(p)
+
+    hd = Duration.from_secs_f32(np.float32(0.3))
+    results = {}
+    for backend in ("numpy", "jax"):
+        fhs = Analyzer.from_files(paths, backend=backend).run(hd, persist=False)
+        cmp = Comparator.from_files(paths, engine="numpy")
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        results[backend] = [
+            None if r.opening is None else
+            (r.opening[0].as_secs_f64(), r.opening[1].as_secs_f64())
+            for r in res
+        ]
+    for a, b in zip(results["numpy"], results["jax"]):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert abs(a[0] - b[0]) < 1.5 and abs(a[1] - b[1]) < 1.5, (a, b)
+    assert any(r is not None for r in results["jax"])
+
+
+def test_decimation_forced_on_and_off_agree(tmp_path, rng, monkeypatch):
+    """Hashes found with and without host decimation give the same search
+    results (decimation only removes unused spectral content)."""
+    rate = 16000
+    shared = _music_like(rng, int(20 * rate), rate)
+    paths = []
+    for e in range(2):
+        p = tmp_path / f"d{e}.wav"
+        n = int(80 * rate)
+        body = _music_like(rng, n, rate)
+        at = int((4.0 + 2 * e) * rate)
+        body[at : at + len(shared)] = shared
+        write_wav_i16(p, np.clip(body * 9000, -32768, 32767).astype(np.int16),
+                      rate, 1)
+        paths.append(p)
+
+    hd = Duration.from_secs_f32(np.float32(0.3))
+    outs = {}
+    for mbs, tag in ((1.0, "slow"), (1e9, "fast")):
+        monkeypatch.setenv("NEEDLE_TPU_H2D_MBS", str(mbs))
+        import needle_tpu._jax_setup as js
+
+        js._h2d_bandwidth = None  # re-probe from env
+        fhs = Analyzer.from_files(paths, backend="jax").run(hd, persist=False)
+        res = Comparator.from_files(paths, engine="jax").run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        outs[tag] = [
+            None if r.opening is None else
+            (round(r.opening[0].as_secs_f64(), 1), round(r.opening[1].as_secs_f64(), 1))
+            for r in res
+        ]
+        js._h2d_bandwidth = None
+    assert outs["slow"] == outs["fast"]
+    assert any(o is not None for o in outs["slow"])
