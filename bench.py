@@ -128,7 +128,66 @@ def accuracy(results, paths, op_truth, end_truth, tol=8.0):
     return ok / max(1, len(results))
 
 
+def search_only_config(n_eps: int) -> None:
+    """BASELINE config 3: search-only over a large pre-hashed library
+    (no decode). Prints one JSON line. NEEDLE_BENCH_CONFIG=search300."""
+    from needle_tpu import Comparator
+    from needle_tpu.data import FrameHashes
+    from needle_tpu.duration import Duration
+
+    rng = np.random.default_rng(11)
+    step = 247619033  # ~0.248 s/hash in ns
+    n_hashes = 2400  # ~10 min of opening window
+    shared = rng.integers(0, 2**32, size=360, dtype=np.uint32)  # ~90 s
+    fhs = []
+    for e in range(n_eps):
+        h = rng.integers(0, 2**32, size=n_hashes, dtype=np.uint32)
+        at = 40 + (e % 11) * 60
+        h[at : at + len(shared)] = shared
+        ts = (2600090703 + np.arange(n_hashes) * step).astype(np.int64)
+        fhs.append(
+            FrameHashes(h, ts, np.zeros(0, np.uint32), np.zeros(0, np.int64),
+                        Duration.from_millis(300), f"{e:032x}")
+        )
+    warm_device()
+    cmp = Comparator.from_files(
+        [f"ep{k:04}.mkv" for k in range(n_eps)], engine="jax"
+    )
+    times = []
+    results = None
+    for _ in range(max(1, TRIALS)):
+        t0 = time.time()
+        results = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        times.append(time.time() - t0)
+    found = sum(1 for r in results if r.opening is not None)
+    pairs = n_eps * (n_eps - 1) // 2
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"search-only wall, {n_eps}-episode library "
+                f"({pairs} pairs), 1 chip",
+                "value": round(best, 4),
+                "unit": "s",
+                "vs_baseline": round(
+                    best / (BASELINE_SEARCH_S * pairs / 378.0), 4
+                ),
+                "pairs_per_sec": round(pairs / best, 1),
+                "episodes_matched": found,
+                "trials": TRIALS,
+            }
+        )
+    )
+
+
 def main():
+    config = os.environ.get("NEEDLE_BENCH_CONFIG", "")
+    if config.startswith("search"):
+        search_only_config(int(config[len("search"):] or 300))
+        return
+
     t_setup0 = time.time()
     paths, op_truth, end_truth = build_season()
     setup_s = time.time() - t_setup0
