@@ -197,15 +197,27 @@ def _bucket(x: int) -> int:
 class _EpisodeSide:
     """Cached per-episode arrays for one segment type (opening/ending)."""
 
-    __slots__ = ("hashes", "ts", "max_spacing")
+    __slots__ = ("hashes", "ts", "max_spacing", "_simhash_prefix")
 
     def __init__(self, hashes: np.ndarray, ts: np.ndarray):
         self.hashes = np.asarray(hashes, dtype=np.uint32)
         self.ts = np.asarray(ts, dtype=np.int64)
+        self._simhash_prefix = None
         if len(ts) >= 2:
             self.max_spacing = int(np.max(np.diff(self.ts)))
         else:
             self.max_spacing = 1
+
+    @property
+    def simhash_prefix(self) -> np.ndarray:
+        """Per-bit prefix sums, computed once per episode (reused by every
+        pair this episode participates in — at N episodes that is N-1
+        pairs, so per-pair recompute dominated host time at scale)."""
+        if self._simhash_prefix is None:
+            from .oracle import simhash_prefix
+
+            self._simhash_prefix = simhash_prefix(self.hashes)
+        return self._simhash_prefix
 
 
 class JaxSearchEngine:
@@ -239,8 +251,10 @@ class JaxSearchEngine:
         sel = np.flatnonzero(valid)
         if len(sel) == 0:
             return []
-        src_sim = simhash32_batch(side_s.hashes, ssi[sel], i[sel])
-        dst_sim = simhash32_batch(side_d.hashes, dsi[sel], j[sel])
+        from .oracle import simhash32_from_prefix
+
+        src_sim = simhash32_from_prefix(side_s.simhash_prefix, ssi[sel], i[sel])
+        dst_sim = simhash32_from_prefix(side_d.simhash_prefix, dsi[sel], j[sel])
         entries = [
             RunEntry(
                 score=int(L[k]),

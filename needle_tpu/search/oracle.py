@@ -60,19 +60,31 @@ def simhash32(hashes: np.ndarray) -> int:
     return int((out_bits << np.arange(32, dtype=np.uint64)).sum())
 
 
-def simhash32_batch(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """simhash32 over hashes[s..=e] for many (s, e) ranges, via per-bit
-    prefix sums (O(n*32) precompute, O(1) per range)."""
+def simhash_prefix(hashes: np.ndarray) -> np.ndarray:
+    """Per-bit prefix sums for O(1) range simhashes; compute once per
+    episode and reuse across all of its pairs."""
     hashes = np.asarray(hashes, dtype=np.uint32)
     bits = (hashes[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & np.uint32(1)
     csum = np.zeros((len(hashes) + 1, 32), dtype=np.int64)
     np.cumsum(bits, axis=0, out=csum[1:])
+    return csum
+
+
+def simhash32_from_prefix(
+    csum: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """simhash32 over [s..=e] ranges from precomputed prefix sums."""
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     counts = csum[ends + 1] - csum[starts]  # (k, 32)
     n = (ends - starts + 1)[:, None]
     out_bits = (2 * counts > n).astype(np.uint64)
     return (out_bits << np.arange(32, dtype=np.uint64)[None, :]).sum(axis=1).astype(np.uint64)
+
+
+def simhash32_batch(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """simhash32 over hashes[s..=e] for many (s, e) ranges."""
+    return simhash32_from_prefix(simhash_prefix(hashes), starts, ends)
 
 
 @dataclass
