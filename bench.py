@@ -161,6 +161,9 @@ def search_only_config(n_eps: int) -> None:
             fhs, display=False, use_skip_files=False, write_skip_files=False
         )
         times.append(time.time() - t0)
+    from needle_tpu.tracing import report_metrics
+
+    report_metrics()  # set NEEDLE_TPU_TIMINGS=1 for the stage table
     found = sum(1 for r in results if r.opening is not None)
     pairs = n_eps * (n_eps - 1) // 2
     best = min(times)
