@@ -14,9 +14,9 @@
 //     Context::delay() uses swr_get_delay(ctx, 1); analyzer.rs:277-282)
 //   * no decoder drain / no resampler flush at EOF (the reference never
 //     sends EOF to the codec nor flushes swr)
-//   * seek via avformat_seek_file(ctx, -1, min, ts, max, 0) with timestamps
-//     computed the way audio/util.rs:18-41 does (bug-compatible: the values
-//     are in *stream* time-base units even though stream_index=-1)
+//   * seek via avformat_seek_file(ctx, -1, min, ts, max, 0) with AV_TIME_BASE
+//     timestamps and the reference's +-1 s window (audio/util.rs:18-41); a
+//     keyframe-less window falls back to a backward seek + packet trimming
 //
 // Build: see native/Makefile (links avformat/avcodec/avutil/swresample).
 
@@ -158,9 +158,9 @@ int ni_probe(const char *path, int *n_video, int *n_audio, char *err, int errcap
 //
 // Returns 0 on success. *out_samples is malloc'd (interleaved i16, stereo;
 // *out_n_samples = total i16 count); caller frees with ni_free.
-// *out_stream_duration_secs is the reference's notion of stream duration
-// (stream tb units preferred, else format duration / 1000 in stream tb;
-// analyzer.rs:362-374).
+// *out_stream_duration_secs prefers the stream duration (stream tb units),
+// falling back to the format-context duration (AV_TIME_BASE units);
+// analyzer.rs:362-374.
 int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit_secs,
                     int out_rate, int threaded,
                     int16_t **out_samples, int64_t *out_n_samples,
@@ -188,18 +188,19 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
     AVStream *stream = ctx->streams[stream_idx];
     double time_base = av_q2d(stream->time_base);
 
-    // Reference duration logic (analyzer.rs:362-374).
-    int64_t duration_raw;
+    // Reference duration logic (analyzer.rs:362-374): prefer the stream's
+    // duration (stream time_base units); fall back to the format context's
+    // (AV_TIME_BASE = microsecond units).
+    double stream_duration;
     if (stream->duration > 0) {
-        duration_raw = stream->duration;
+        stream_duration = (double)stream->duration * time_base;
     } else if (ctx->duration > 0) {
-        duration_raw = ctx->duration / 1000;
+        stream_duration = (double)ctx->duration / 1000000.0;
     } else {
         avformat_close_input(&ctx);
         set_err(err, errcap, "no duration found in stream or format context");
         return -1;
     }
-    double stream_duration = (double)duration_raw * time_base;
     if (out_stream_duration_secs) *out_stream_duration_secs = stream_duration;
 
     // Decoder setup (analyzer.rs:18-52).
@@ -234,26 +235,40 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
         return -1;
     }
 
-    // Optional seek (audio/util.rs:18-41, bug-compatible).
+    // Optional seek (audio/util.rs:18-41).
+    int64_t seek_skip_ts = 0;  // stream-tb pts below which packets are dropped
     if (seek_to_secs >= 0) {
         double timestamp_ms = seek_to_secs * 1000.0;
         double min_ms = timestamp_ms - 1000.0;
         double max_ms = timestamp_ms + 1000.0;
-        double format_duration =
-            ((double)ctx->duration * time_base) / 1000.0;  // "ms" in ref math
-        if (!(max_ms / 1000.0 < format_duration)) {
+        // AVFormatContext.duration is in AV_TIME_BASE (microsecond) units,
+        // NOT the stream time_base.
+        double format_duration_ms = (double)ctx->duration / 1000.0;
+        if (!(max_ms < format_duration_ms)) {
             // The reference asserts; we return a distinct error.
             avcodec_free_context(&dec);
             avformat_close_input(&ctx);
             set_err(err, errcap, "timestamp must be less than the stream duration");
             return -2;
         }
-        // audio/util.rs:36-38: ms-count / time_base, cast to i64.
-        int64_t ts = (int64_t)(timestamp_ms / time_base);
-        int64_t min_ts = (int64_t)(min_ms / time_base);
-        int64_t max_ts = (int64_t)(max_ms / time_base);
-        // NOTE: ffmpeg-next Input::seek uses stream_index = -1.
+        // stream_index = -1 (like the reference's seek wrapper) means the
+        // timestamps are in AV_TIME_BASE (microsecond) units.
+        int64_t ts = (int64_t)(timestamp_ms * 1000.0);
+        int64_t min_ts = (int64_t)(min_ms * 1000.0);
+        if (min_ts < 0) min_ts = 0;
+        int64_t max_ts = (int64_t)(max_ms * 1000.0);
         ret = avformat_seek_file(ctx, -1, min_ts, ts, max_ts, 0);
+        if (ret < 0) {
+            // Containers whose default stream has no keyframe inside the
+            // +-1 s window (common for short MP4s) reject the bounded
+            // seek; retry seeking backward to the nearest earlier
+            // keyframe — extra leading audio is trimmed by pts filtering.
+            ret = avformat_seek_file(ctx, -1, INT64_MIN, ts, ts, 0);
+            if (ret >= 0) {
+                // min window matches the strict seek's earliest acceptable pts
+                seek_skip_ts = (int64_t)((min_ms / 1000.0) / time_base);
+            }
+        }
         if (ret < 0) {
             avcodec_free_context(&dec);
             avformat_close_input(&ctx);
@@ -297,6 +312,13 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
         if (pkt->pts <= 0) {
             av_packet_unref(pkt);
             continue;  // analyzer.rs:221-226
+        }
+        if (seek_skip_ts > 0 && pkt->pts + pkt->duration <= seek_skip_ts) {
+            // The keyframe-fallback seek can land before the requested
+            // timestamp; drop packets that end before it so hash
+            // timestamps stay anchored to the seek target.
+            av_packet_unref(pkt);
+            continue;
         }
         ret = avcodec_send_packet(dec, pkt);
         av_packet_unref(pkt);

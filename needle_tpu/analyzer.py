@@ -133,7 +133,9 @@ class Analyzer:
                 seek_to = stream_duration.mul_f32(
                     np.float32(1.0) - np.float32(self.ending_search_percentage)
                 )
-                n_skip = int(seek_to.as_secs_f64() * SAMPLE_RATE) * 2
+                # ms-truncated like the reference's seek (audio/util.rs:36-38)
+                # and the device-ingest path
+                n_skip = int((seek_to.as_millis() / 1000.0) * SAMPLE_RATE) * 2
                 ending_pcm = pcm[n_skip:]
             return opening_pcm, ending_pcm, stream_duration, seek_to
 

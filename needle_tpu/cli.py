@@ -17,6 +17,7 @@ from .analyzer import Analyzer
 from .comparator import Comparator
 from .duration import Duration
 from .errors import Error
+from .ingest import IngestError
 from .util import ffmpeg_version_string, find_video_files
 
 
@@ -177,7 +178,7 @@ def _error_exit(message: str) -> None:
 def _find_videos(args, paths):
     try:
         return find_video_files(paths, not args.file_headers_only, True)
-    except Error as e:
+    except (Error, IngestError) as e:
         _error_exit(str(e))
 
 
@@ -224,7 +225,7 @@ def main(argv=None) -> int:
         hash_duration = Duration.from_secs_f32(np.float32(args.hash_duration))
         try:
             analyzer.run(hash_duration, True, not args.no_threading)
-        except Error as e:
+        except (Error, IngestError) as e:
             _error_exit(str(e))
         return 0
 
@@ -253,7 +254,7 @@ def main(argv=None) -> int:
                 args.write_skip_files,
                 not args.no_threading,
             )
-        except Error as e:
+        except (Error, IngestError) as e:
             _error_exit(str(e))
         return 0
 

@@ -283,8 +283,9 @@ def _ingest_fingerprint_batched(
 
     def one(raw):
         if channels == 2:
-            x = raw.reshape(-1, 2).astype(jnp.float32)
-            mono = (x[:, 0] + x[:, 1]) * 0.5
+            # exact chromaprint downmix semantics: (l + r) / 2 with C
+            # truncation toward zero (matches the host oracle bit-for-bit)
+            mono = downmix_stereo_i16_jnp(raw)
         else:
             mono = raw.astype(jnp.float32)
         if in_rate != SAMPLE_RATE:
@@ -412,17 +413,7 @@ def _collect_lanes(launched, out_lens, results) -> None:
             row0 += out.shape[0]
 
 
-def _bucket_frames(n_frames: int) -> int:
-    """Round frame counts up to limit recompilation (powers-of-two-ish)."""
-    if n_frames <= 256:
-        return 256
-    b = 256
-    while b < n_frames:
-        b *= 2
-    for q in (b // 2 + b // 8, b // 2 + b // 4, b // 2 + 3 * b // 8, b // 2 + b // 2):
-        if n_frames <= q:
-            return q
-    return b
+from .._shapes import size_bucket as _bucket_frames  # noqa: E402  (shape buckets)
 
 
 def downmix_stereo_i16_jnp(interleaved: jnp.ndarray) -> jnp.ndarray:

@@ -41,12 +41,7 @@ from .._jax_setup import ensure as _jax_setup_ensure
 _jax_setup_ensure()
 
 from ..duration import Duration
-from .oracle import (
-    RunEntry,
-    binary_heap_order,
-    longest_common_hash_match,
-    simhash32_batch,
-)
+from .oracle import RunEntry, binary_heap_order
 
 D_TILE = 512
 # Per-dispatch device memory budget for the (n_pad x D_TILE) tiles.
@@ -61,15 +56,18 @@ def _popcount_u32_jnp(x: jnp.ndarray) -> jnp.ndarray:
     return ((v * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(jnp.int32)
 
 
-def _tile_runs(src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_pad):
+def _tile_runs(src, dst, vsrc, vdst, l_min, d0, threshold, n_pad, m_pad):
     """One diagonal tile of one pair, at STATIC base offset d0.
 
     All index math uses compile-time constants — per-item traced offsets
     force XLA into a generic per-cell gather that measured ~27x slower.
     Validity is carried by uploaded bool arrays instead of traced lengths:
       vsrc[i]: i is a usable src index (i >= 1 and i < n_valid),
-      lsrc[i]: i is the LAST valid src index (boundary run end),
-      vdst/ldst: same for dst.
+      vdst[j]: same for dst. Runs end wherever the NEXT cell is not a
+      valid match — which already covers the last valid index of either
+      side (the next cell fails the validity mask) and the physical tile
+      edge (a zero row is appended), so no separate boundary tables are
+      needed.
 
     Diagonals are indexed by the raw offset o = j - i; this tile covers
     o in [d0, d0 + D_TILE). Returns the per-diagonal count of run-end
@@ -85,7 +83,6 @@ def _tile_runs(src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_
 
     dstg = jnp.take(dst, j_idx, axis=0)
     vdstg = jnp.take(vdst, j_idx, axis=0) & ~oob
-    ldstg = jnp.take(ldst, j_idx, axis=0)
 
     S = (
         (_popcount_u32_jnp(src[:, None] ^ dstg) <= threshold)
@@ -98,14 +95,13 @@ def _tile_runs(src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_
     run = c - jax.lax.cummax(z, axis=0)
 
     S_next = jnp.concatenate([S[1:], jnp.zeros((1, D_TILE), bool)], axis=0)
-    at_boundary = lsrc[:, None] | ldstg
-    ends = S & (at_boundary | ~S_next)
+    ends = S & ~S_next
     cand = ends & (run >= l_min)
 
     return jnp.sum(cand.astype(jnp.int32), axis=0)
 
 
-def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m_pad):
+def _pair_all_tiles(src, dst, vsrc, vdst, l_min, threshold, n_pad, m_pad):
     """All diagonal tiles of one pair, unrolled over a static d0 grid
     covering the full padded offset range [-(n_pad-1), m_pad-1].
 
@@ -118,7 +114,7 @@ def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m
     d0 = -(n_pad - 1)
     while d0 <= m_pad - 1:
         c = _tile_runs(
-            src, dst, vsrc, lsrc, vdst, ldst, l_min, d0, threshold, n_pad, m_pad
+            src, dst, vsrc, vdst, l_min, d0, threshold, n_pad, m_pad
         )
         counts.append(c)
         d0 += D_TILE
@@ -128,7 +124,7 @@ def _pair_all_tiles(src, dst, vsrc, lsrc, vdst, ldst, l_min, threshold, n_pad, m
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
-def _batch_tiles_indexed(table, vtab, ltab, ia_b, ib_b, lm_b, threshold, n_pad):
+def _batch_tiles_indexed(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
     """Pairs gather their episodes from a device-resident hash table, so
     each episode's hashes are uploaded ONCE per search instead of once per
     pair — at 300 episodes that is a ~450x transfer reduction and removes
@@ -136,16 +132,11 @@ def _batch_tiles_indexed(table, vtab, ltab, ia_b, ib_b, lm_b, threshold, n_pad):
 
     def one(ia, ib, lm):
         return _pair_all_tiles(
-            table[ia], table[ib], vtab[ia], ltab[ia], vtab[ib], ltab[ib],
+            table[ia], table[ib], vtab[ia], vtab[ib],
             lm, threshold, n_pad, n_pad,
         )
 
     return jax.vmap(one)(ia_b, ib_b, lm_b)
-
-
-def grid_base(n_pad: int) -> int:
-    """First diagonal offset of the static tile grid."""
-    return -(n_pad - 1)
 
 
 def _diag_candidates(
@@ -179,19 +170,7 @@ def _diag_candidates(
     ]
 
 
-def _round_up(x: int, mult: int) -> int:
-    return ((x + mult - 1) // mult) * mult
-
-
-def _bucket(x: int) -> int:
-    """Shape bucket for hash-sequence lengths (limits recompiles)."""
-    b = 256
-    while b < x:
-        b *= 2
-    for q in (b // 2 + b // 8, b // 2 + b // 4, b // 2 + 3 * b // 8, b):
-        if x <= q:
-            return q
-    return b
+from .._shapes import size_bucket as _bucket  # noqa: E402  (shape buckets)
 
 
 class _EpisodeSide:
@@ -350,19 +329,16 @@ class JaxSearchEngine:
         e_pad = _bucket(len(ep_ids))
         table = np.zeros((e_pad, n_pad), np.uint32)
         vtab = np.zeros((e_pad, n_pad), bool)
-        ltab = np.zeros((e_pad, n_pad), bool)
         for e, s in ep_slot.items():
             h = sides[e].hashes
             nv = len(h)
             table[s, :nv] = h
             # index 0 is never usable (the reference zeroes row/col 0)
             vtab[s, 1:nv] = True
-            ltab[s, nv - 1] = nv > 1
         from ..parallel import replicate
 
         table_d = replicate(table)
         vtab_d = replicate(vtab)
-        ltab_d = replicate(ltab)
 
         for c0 in range(0, len(work), chunk):
             batch = work[c0 : c0 + chunk]
@@ -384,7 +360,6 @@ class JaxSearchEngine:
             out = _batch_tiles_indexed(
                 table_d,
                 vtab_d,
-                ltab_d,
                 shard_batch(ia_b)[0],
                 shard_batch(ib_b)[0],
                 shard_batch(lm_b)[0],
@@ -407,9 +382,12 @@ class JaxSearchEngine:
         else:
             counts_all = np.asarray(launched[0][1])
         row0 = 0
-        for batch, _ in launched:
-            counts = counts_all[row0 : row0 + chunk]
-            row0 += chunk
+        for batch, out in launched:
+            # out.shape[0] can exceed `chunk` when shard_batch padded the
+            # lane axis to the mesh device count; advance by the REAL row
+            # count or every later chunk reads misaligned rows.
+            counts = counts_all[row0 : row0 + out.shape[0]]
+            row0 += out.shape[0]
             for r, (p_idx, a, b) in enumerate(batch):
                 hit = np.flatnonzero(np.unpackbits(counts[r], bitorder="little"))
                 if len(hit) == 0:
@@ -443,6 +421,18 @@ class JaxSearchEngine:
         from ..errors import FrameHashDataNoEnding
 
         hash_durations = [fh.hash_duration() for fh in frame_hashes]
+
+        # Validate ending data BEFORE any device work: raising after the
+        # all-pairs opening search would waste minutes of dispatches on
+        # large libraries.
+        if comparator.include_endings:
+            for a, b in pairs:
+                if (
+                    len(frame_hashes[a].ending_hashes) == 0
+                    or len(frame_hashes[b].ending_hashes) == 0
+                ):
+                    raise FrameHashDataNoEnding()
+
         open_sides = [
             _EpisodeSide(fh.opening_hashes, fh.opening_ts_nanos) for fh in frame_hashes
         ]
@@ -452,12 +442,6 @@ class JaxSearchEngine:
 
         end_entries: Dict[int, List[RunEntry]] = {}
         if comparator.include_endings:
-            for a, b in pairs:
-                if (
-                    len(frame_hashes[a].ending_hashes) == 0
-                    or len(frame_hashes[b].ending_hashes) == 0
-                ):
-                    raise FrameHashDataNoEnding()
             end_sides = [
                 _EpisodeSide(fh.ending_hashes, fh.ending_ts_nanos)
                 for fh in frame_hashes

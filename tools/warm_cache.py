@@ -62,15 +62,13 @@ def main() -> None:
         chunk = max(1, min(128, S._MEM_BUDGET // per_pair))
         for e_pad in ([160] if quick else [160, 320, 640]):
             table = np.zeros((e_pad, n_pad), np.uint32)
-            nv = np.full((e_pad,), n_pad, np.int32)
             ia = np.zeros(chunk, np.int32)
             lm = np.full(chunk, 2**31 - 1, np.int32)
             t0 = time.time()
-            # validity tables mirror _search_side's construction
+            # validity table mirrors _search_side's construction
             vt = np.zeros((e_pad, n_pad), bool)
-            lt = np.zeros((e_pad, n_pad), bool)
             out = S._batch_tiles_indexed(
-                jax.device_put(table), jax.device_put(vt), jax.device_put(lt),
+                jax.device_put(table), jax.device_put(vt),
                 jax.numpy.asarray(ia), jax.numpy.asarray(ia),
                 jax.numpy.asarray(lm), 10, n_pad,
             )
