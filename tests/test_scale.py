@@ -82,3 +82,44 @@ def test_local_shard_partitions_completely():
     # single-process: everything lands on this process
     assert dist.local_shard(items) == items
     assert dist.is_coordinator()
+
+
+def test_mesh_with_padded_chunks_matches_oracle(rng):
+    """Chunks smaller than the mesh device count get their lane axis padded
+    by shard_batch; collection must advance by the REAL device row count or
+    every chunk after the first reads misaligned bitmask rows (regression)."""
+    from needle_tpu import Comparator
+    from needle_tpu.parallel import needle_mesh
+    from needle_tpu.search.jax_impl import JaxSearchEngine
+
+    shared = rng.integers(0, 2**32, size=60, dtype=np.uint32)
+    fhs = _mk_frame_hashes(
+        rng, 6, n_hashes=240, shared=shared, shared_at=[10 + 9 * e for e in range(6)]
+    )
+
+    def run(engine_name, mesh, mem_budget=None):
+        cmp = Comparator.from_files(
+            [f"m{k}.mkv" for k in range(6)], engine=engine_name
+        ).with_min_opening_duration(Duration.from_secs(10))
+        if engine_name == "jax" and mem_budget is not None:
+            cmp._engine_obj = JaxSearchEngine(mem_budget=mem_budget)
+            cmp._engine = lambda: cmp._engine_obj  # force tiny chunks
+        if mesh:
+            from needle_tpu.parallel import needle_mesh as nm
+
+            with nm(8):
+                res = cmp.run_with_frame_hashes(
+                    fhs, display=False, use_skip_files=False,
+                    write_skip_files=False,
+                )
+        else:
+            res = cmp.run_with_frame_hashes(
+                fhs, display=False, use_skip_files=False, write_skip_files=False
+            )
+        return [(r.opening, r.ending) for r in res]
+
+    # tiny budget -> chunk of ~2-4 lanes -> multiple chunks, each padded to 8
+    expected = run("numpy", mesh=False)
+    got = run("jax", mesh=True, mem_budget=2 * 256 * 512 * 12 * 4)
+    assert got == expected
+    assert any(op is not None for op, _ in expected)
