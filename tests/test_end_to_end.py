@@ -121,3 +121,32 @@ def test_cli_validation(tmp_path, capsys):
     (tmp_path / "only.wav").write_bytes(b"RIFF")
     with pytest.raises(SystemExit):
         main(["search", str(tmp_path / "only.wav")])
+
+
+def test_sample_videos_endings_and_seek(sample_videos):
+    """The AV ending path: bounded seek (keyframe fallback included) and
+    reference semantics for too-short files (empty ending data, clean
+    search error)."""
+    from needle_tpu import ingest
+    from needle_tpu.data import FrameHashes
+
+    d = sample_videos[0].parent
+    assert main(
+        ["analyze", "--backend", "numpy", "--include-endings", "--force", str(d)]
+    ) == 0
+    for p in sample_videos:
+        fh = FrameHashes.from_path(p.with_suffix(".needle.dat"))
+        # sample-5s has ~2.9 s of opening-window audio (1 hash); the shifted
+        # variant's audio starts ~4 s in, so its opening window may be empty
+        if p.name == "sample-5s.mp4":
+            assert len(fh.opening_hashes) > 0
+        # ~5 s of audio: the 25% ending window is too short for any hash
+        assert len(fh.ending_hashes) == 0
+
+    # seek beyond duration mirrors the reference's assertion as a clean error
+    with pytest.raises(ingest.SeekPastEnd):
+        ingest.decode_audio(sample_videos[0], seek_to_secs=4.9)
+
+    # search --include-endings on empty ending data errors cleanly
+    with pytest.raises(SystemExit):
+        main(["search", "--include-endings", "--engine", "numpy", str(d)])
