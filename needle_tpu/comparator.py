@@ -284,16 +284,21 @@ class Comparator:
             return best
 
         # Pairwise simhash distance voting (comparator.rs:434-453). dist must
-        # be strictly below threshold + threshold/2 (integer division).
+        # be strictly below threshold + threshold/2 (integer division), and a
+        # candidate is only ELIGIBLE if at least one pair (including itself)
+        # qualified — with threshold 0 nothing enters the reference's
+        # distinct-match map and no opening/ending is reported at all.
         sim = np.array([c[0][2] for c in candidates], dtype=np.uint32)
         dist = popcount_u32(sim[:, None] ^ sim[None, :])
         bias_threshold = self.hash_match_threshold + self.hash_match_threshold // 2
-        votes = (dist < bias_threshold).sum(axis=1).astype(np.int64)
+        qualified = dist < bias_threshold
+        votes = qualified.sum(axis=1).astype(np.int64)
+        eligible = qualified.any(axis=1)
 
         def pick(want_opening: bool):
             scored = []
             for k, (c, is_opening) in enumerate(candidates):
-                if is_opening != want_opening:
+                if is_opening != want_opening or not eligible[k]:
                     continue
                 (start, end), _, _ = c
                 count = int(votes[k])

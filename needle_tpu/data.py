@@ -63,15 +63,10 @@ def shortest_f32_repr(value) -> str:
     v = np.float32(value)
     if np.isnan(v) or np.isinf(v):
         raise ValueError("cannot serialize non-finite f32 to JSON")
-    for prec in range(1, 18):
-        s = f"{float(v):.{prec}g}"
-        if np.float32(s) == v:
-            break
-    # ryu always includes a fractional part or exponent for floats.
-    if "e" in s or "E" in s:
-        # normalize exponent form to ryu style (e.g. 1e-45 -> 1e-45); Python's
-        # "1e-45" is already compatible enough for round-tripping.
-        return s
+    # ryu prints positional notation for the whole magnitude range that
+    # timestamps occupy; %g-style formatting would switch to scientific
+    # notation for round values (90.0 -> "9e+01") and break byte-compat.
+    s = np.format_float_positional(v, unique=True, trim="0")
     if "." not in s:
         s += ".0"
     return s

@@ -143,11 +143,23 @@ class Duration:
         return self._nanos != 0
 
     def __repr__(self) -> str:
-        # Rust Debug-style: "3.004081566s"
+        """Rust Debug-style unit selection: "3.004081566s", "300ms",
+        "500µs", "700ns" (Duration::ZERO prints "0ns")."""
         s, n = self.secs, self.subsec_nanos
+        if s > 0:
+            if n == 0:
+                return f"{s}s"
+            return f"{s}.{n:09d}".rstrip("0") + "s"
         if n == 0:
-            return f"{s}s"
-        return f"{s}.{n:09d}".rstrip("0") + "s"
+            return "0ns"
+        for unit, scale in (("ms", 1_000_000), ("µs", 1_000)):
+            if n >= scale:
+                whole, frac = divmod(n, scale)
+                if frac == 0:
+                    return f"{whole}{unit}"
+                width = 6 if unit == "ms" else 3
+                return f"{whole}.{frac:0{width}d}".rstrip("0") + unit
+        return f"{n}ns"
 
 
 ZERO = Duration.from_nanos(0)

@@ -105,3 +105,13 @@ def test_skip_file_json_bytes():
     rt = SkipFile.from_json_bytes(sf.to_json_bytes())
     assert rt.opening is None and rt.md5 == sf.md5
     assert rt.ending == pytest.approx((1331.6644, 1419.0249))
+
+
+def test_shortest_f32_repr_round_values_positional():
+    """ryu prints positional decimals for round values — never "9e+01"."""
+    for v, expect in [(90.0, "90.0"), (30.0, "30.0"), (120.0, "120.0"),
+                      (1000.0, "1000.0"), (0.0, "0.0")]:
+        assert shortest_f32_repr(v) == expect
+    assert np.float32(shortest_f32_repr(1331.664387072)) == np.float32(
+        1331.664387072
+    )

@@ -115,3 +115,32 @@ def test_heap_order_emulation():
     out = binary_heap_order([e(1), e(2), e(3)])
     # push 1 -> [1]; push 2 -> sift up -> [2,1]; push 3 -> [3,1,2]
     assert [x.score for x in out] == [3, 1, 2]
+
+
+def test_threshold_zero_reports_nothing(rng):
+    """With hash_match_threshold=0 the bias threshold is 0, no candidate
+    pair (not even a candidate with itself) enters the reference's
+    distinct-match map, and no opening is reported (comparator.rs:434-473)."""
+    from needle_tpu import Comparator
+    from needle_tpu.data import FrameHashes
+    from needle_tpu.duration import Duration
+
+    shared = rng.integers(0, 2**32, size=80, dtype=np.uint32)
+    fhs = []
+    for e in range(2):
+        h = rng.integers(0, 2**32, size=300, dtype=np.uint32)
+        h[20 : 20 + len(shared)] = shared
+        ts = (2600090703 + np.arange(300) * 247619033).astype(np.int64)
+        fhs.append(FrameHashes(h, ts, np.zeros(0, np.uint32),
+                               np.zeros(0, np.int64),
+                               Duration.from_millis(300), "a" * 32))
+    for engine in ("numpy", "jax"):
+        cmp = (
+            Comparator.from_files(["a.mkv", "b.mkv"], engine=engine)
+            .with_hash_match_threshold(0)
+            .with_min_opening_duration(Duration.from_secs(5))
+        )
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        assert all(r.opening is None for r in res)
