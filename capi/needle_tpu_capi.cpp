@@ -229,16 +229,30 @@ enum NeedleError needle_util_find_video_files(const char *const *paths,
   const char **out =
       static_cast<const char **>(calloc(static_cast<size_t>(n > 0 ? n : 1),
                                         sizeof(char *)));
+  if (!out) {
+    Py_DECREF(result);
+    return NeedleError_Unknown;
+  }
+  Py_ssize_t kept = 0;
   for (Py_ssize_t i = 0; i < n; i++) {
     PyObject *item = PySequence_GetItem(result, i);
-    PyObject *str = PyObject_Str(item);
-    out[i] = strdup(PyUnicode_AsUTF8(str));
+    // encode with surrogateescape so non-UTF-8 filenames survive the
+    // round trip instead of crashing on a NULL from PyUnicode_AsUTF8
+    PyObject *str = item ? PyObject_Str(item) : nullptr;
+    PyObject *bytes =
+        str ? PyUnicode_EncodeFSDefault(str) : nullptr;
+    if (bytes) {
+      out[kept++] = strdup(PyBytes_AsString(bytes));
+      Py_DECREF(bytes);
+    } else {
+      PyErr_Clear();
+    }
     Py_XDECREF(str);
     Py_XDECREF(item);
   }
   Py_DECREF(result);
   *videos = out;
-  *num_videos = static_cast<size_t>(n);
+  *num_videos = static_cast<size_t>(kept);
   return NeedleError_Ok;
 }
 
@@ -346,8 +360,10 @@ void needle_audio_analyzer_print_paths(
   Py_ssize_t n = PySequence_Length(videos);
   for (Py_ssize_t i = 0; i < n; i++) {
     PyObject *item = PySequence_GetItem(videos, i);
-    PyObject *str = PyObject_Str(item);
-    if (str) printf("%s\n", PyUnicode_AsUTF8(str));
+    PyObject *str = item ? PyObject_Str(item) : nullptr;
+    const char *c = str ? PyUnicode_AsUTF8(str) : nullptr;
+    if (c) printf("%s\n", c);
+    else PyErr_Clear();
     Py_XDECREF(str);
     Py_XDECREF(item);
   }
@@ -367,6 +383,7 @@ enum NeedleError needle_audio_analyzer_run(struct NeedleAudioAnalyzer *analyzer,
   Py_XDECREF(analyzer->frame_hashes);
   analyzer->frame_hashes = PySequence_List(result);
   Py_DECREF(result);
+  if (!analyzer->frame_hashes) return error_from_python();
   return NeedleError_Ok;
 }
 

@@ -195,6 +195,11 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
     if (stream->duration > 0) {
         stream_duration = (double)stream->duration * time_base;
     } else if (ctx->duration > 0) {
+        // Intentional divergence: the reference scales the format-context
+        // duration by the STREAM time base here, which is only correct for
+        // 1/1000 time bases (Matroska); we report the physically correct
+        // value (AV_TIME_BASE units), which changes window sizing only for
+        // containers lacking per-stream durations with non-ms time bases.
         stream_duration = (double)ctx->duration / 1000000.0;
     } else {
         avformat_close_input(&ctx);

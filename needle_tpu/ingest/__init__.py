@@ -15,6 +15,7 @@ rate, matching what the reference's decode chain would produce.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from dataclasses import dataclass
 from pathlib import Path
@@ -33,10 +34,16 @@ class IngestError(RuntimeError):
     pass
 
 
+_build_failed = False
+
+
 def _build_native() -> Optional[Path]:
+    global _build_failed
     so = _NATIVE_DIR / _LIB_NAME
     if so.exists():
         return so
+    if _build_failed:
+        return None  # don't re-run a failing 300 s build per call
     try:
         subprocess.run(
             ["make", "-C", str(_NATIVE_DIR)],
@@ -45,8 +52,12 @@ def _build_native() -> Optional[Path]:
             timeout=300,
         )
     except Exception:
+        _build_failed = True
         return None
-    return so if so.exists() else None
+    if so.exists():
+        return so
+    _build_failed = True
+    return None
 
 
 def load_native() -> ctypes.CDLL:
@@ -129,7 +140,7 @@ def probe(path) -> ProbeInfo:
     nv, na = ctypes.c_int(), ctypes.c_int()
     err = ctypes.create_string_buffer(512)
     rc = lib.ni_probe(
-        str(path).encode(), ctypes.byref(nv), ctypes.byref(na), err, len(err)
+        os.fsencode(str(path)), ctypes.byref(nv), ctypes.byref(na), err, len(err)
     )
     if rc != 0:
         raise IngestError(err.value.decode(errors="replace"))
@@ -162,7 +173,7 @@ def decode_audio(
     dur = ctypes.c_double()
     err = ctypes.create_string_buffer(512)
     rc = lib.ni_decode_audio(
-        str(path).encode(),
+        os.fsencode(str(path)),
         -1.0 if seek_to_secs is None else float(seek_to_secs),
         -1.0 if duration_limit_secs is None else float(duration_limit_secs),
         sample_rate,
@@ -310,11 +321,14 @@ def read_pcm_raw(
     p = str(path).lower()
     if p.endswith(".wav"):
         samples, rate, channels = read_wav(path)
-        if samples.dtype != np.int16:
-            samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
     else:
         samples = np.fromfile(path, dtype=raw_dtype)
         rate, channels = raw_rate, raw_channels
+    if samples.dtype != np.int16:
+        # float PCM -> i16 with rounding (matching swresample's conversion)
+        samples = np.clip(
+            np.rint(samples.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
     duration = (samples.size // channels) / rate
     return samples, rate, channels, duration
 

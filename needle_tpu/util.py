@@ -67,14 +67,13 @@ def _is_video_header(buf: bytes) -> bool:
     """
     if len(buf) < 16:
         return False
-    # MP4 / M4V / MOV (ftyp box)
+    # MP4 / M4V / MOV (ftyp box) — only VIDEO brands, like infer::is_video;
+    # audio-only (M4A) and image (heic/avif) ISO-BMFF brands are rejected.
     if buf[4:8] == b"ftyp":
         brand = buf[8:12]
-        if brand in _MP4_BRANDS or brand[:2] == b"qt" or brand == b"M4V ":
-            return True
-        # Generic ISO base media file; infer accepts common brands only, but
-        # unknown ftyp brands are overwhelmingly videos.
-        return True
+        return bool(
+            brand in _MP4_BRANDS or brand[:2] == b"qt" or brand == b"M4V "
+        )
     # Matroska / WebM (EBML)
     if buf[:4] == b"\x1aE\xdf\xa3":
         return True
