@@ -171,8 +171,16 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _error_exit(message: str) -> None:
+    """clap-style invalid-usage exit (code 2)."""
     print(f"error: {message}", file=sys.stderr)
     sys.exit(2)
+
+
+def _runtime_error_exit(message: str) -> None:
+    """Reference main() returns Result: runtime failures print
+    "Error: ..." and exit 1, distinct from usage errors (exit 2)."""
+    print(f"Error: {message}", file=sys.stderr)
+    sys.exit(1)
 
 
 def _find_videos(args, paths):
@@ -189,7 +197,7 @@ def main(argv=None) -> int:
     # Log subscriber at INFO, mirroring the reference CLI (main.rs:255-259);
     # NEEDLE_TPU_LOG=debug enables span-level tracing and
     # NEEDLE_TPU_TIMINGS=1 prints per-stage wall times on exit.
-    from .tracing import install_cli_subscriber, report_metrics
+    from .tracing import device_profile, install_cli_subscriber, report_metrics
 
     install_cli_subscriber()
     global _metrics_hook_installed
@@ -224,12 +232,16 @@ def main(argv=None) -> int:
         )
         hash_duration = Duration.from_secs_f32(np.float32(args.hash_duration))
         try:
-            analyzer.run(hash_duration, True, not args.no_threading)
+            with device_profile("needle analyze"):
+                analyzer.run(hash_duration, True, not args.no_threading)
         except (Error, IngestError) as e:
-            _error_exit(str(e))
+            _runtime_error_exit(str(e))
         return 0
 
     if args.command == "search":
+        if args.hash_match_threshold < 0 or args.min_opening_duration < 0 \
+                or args.min_ending_duration < 0:
+            _error_exit("invalid value: thresholds and durations must be non-negative")
         if args.hash_match_threshold > 32:
             _error_exit("hash_match_threshold cannot be larger than 32")
         videos = sorted(_find_videos(args, args.paths))
@@ -247,15 +259,16 @@ def main(argv=None) -> int:
             .with_time_padding(Duration.from_secs_f32(np.float32(args.time_padding)))
         )
         try:
-            comparator.run(
-                args.analyze,
-                not args.no_display,
-                args.use_skip_files,
-                args.write_skip_files,
-                not args.no_threading,
-            )
+            with device_profile("needle search"):
+                comparator.run(
+                    args.analyze,
+                    not args.no_display,
+                    args.use_skip_files,
+                    args.write_skip_files,
+                    not args.no_threading,
+                )
         except (Error, IngestError) as e:
-            _error_exit(str(e))
+            _runtime_error_exit(str(e))
         return 0
 
     return 0

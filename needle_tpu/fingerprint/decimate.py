@@ -23,7 +23,13 @@ import numpy as np
 # Highest chroma band edge (constants.chroma_bin_ranges: bins up to
 # ~3520 Hz) plus transition headroom.
 _MIN_RATE = 8000
-_HALF_TAPS = 32
+
+
+def _half_taps(f: int) -> int:
+    """FIR half-width, rounded up to a multiple of f so the linear-phase
+    group delay (H input samples) trims to an EXACT number of output
+    samples — otherwise every output is shifted by H mod f inputs."""
+    return -(-32 // f) * f
 
 
 def decimation_factor(in_rate: int) -> int:
@@ -38,10 +44,11 @@ def decimation_factor(in_rate: int) -> int:
 def _fir(in_rate: int, f: int) -> np.ndarray:
     """Anti-alias lowpass for decimation by f: cutoff at the new Nyquist,
     kaiser(9) windowed sinc, 2H+1 taps, unit DC gain."""
-    h_idx = np.arange(-_HALF_TAPS, _HALF_TAPS + 1, dtype=np.float64)
+    H = _half_taps(f)
+    h_idx = np.arange(-H, H + 1, dtype=np.float64)
     fc = 1.0 / (2.0 * f) * 0.94
     taps = 2.0 * fc * np.sinc(2.0 * fc * h_idx)
-    taps *= np.kaiser(2 * _HALF_TAPS + 1, 9.0)
+    taps *= np.kaiser(2 * H + 1, 9.0)
     taps /= taps.sum()
     return taps.astype(np.float32)
 
@@ -60,17 +67,15 @@ def host_decimate(
     from scipy.signal import upfirdn
 
     h = _fir(in_rate, f)
+    lead = _half_taps(f) // f  # exact: _half_taps(f) is a multiple of f
     if channels == 1:
         y = upfirdn(h, x.astype(np.float32), up=1, down=f)
-        # trim the group delay (H/f) and the filter tail
-        lead = _HALF_TAPS // f
         y = y[lead : lead + len(x) // f]
         return np.clip(np.rint(y), -32768, 32767).astype(np.int16), in_rate // f
     frames = x.reshape(-1, channels)
     outs = []
     for c in range(channels):
         y = upfirdn(h, frames[:, c].astype(np.float32), up=1, down=f)
-        lead = _HALF_TAPS // f
         outs.append(y[lead : lead + frames.shape[0] // f])
     out = np.stack(outs, axis=1).reshape(-1)
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16), in_rate // f

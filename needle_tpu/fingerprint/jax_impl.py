@@ -151,7 +151,8 @@ def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames
         from .pallas_impl import spectral_energy_pallas
 
         energy = spectral_energy_pallas(
-            mono_f32, n_frames, interpret=jax.default_backend() == "cpu"
+            mono_f32, wc, ws, n_frames,
+            interpret=jax.default_backend() == "cpu",
         )
         chroma = jnp.dot(energy, fold, precision=_PREC)
         return _post_chroma(chroma, W_cls, thresholds, n_frames)

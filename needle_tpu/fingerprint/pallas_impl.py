@@ -2,13 +2,13 @@
 
 The XLA pipeline materializes the (n_frames, 4096) frame matrix in HBM
 (~84 MB per 10-minute lane) before the two DFT matmuls read it back. This
-kernel builds each frame block IN VMEM from the raw signal (overlapping
-4096-sample windows on a 1365 hop are three hop-rows plus one sample — a
-reshape + concat, no gathers), runs both windowed-DFT matmuls on the MXU,
-and writes only the spectral energies: HBM traffic drops from
-~3x frames-size to signal + energies.
+kernel DMAs each block's signal slice from HBM into VMEM scratch, builds
+the frame block there (overlapping 4096-sample windows on a 1365 hop are
+three hop-rows plus one sample — a reshape + concat, no gathers), runs
+both windowed-DFT matmuls on the MXU, and writes only the spectral
+energies: HBM traffic drops from ~3x frames-size to signal + energies.
 
-Grid: (frame_blocks, k_blocks). Per step VMEM: signal slice (~1.4 MB),
+Grid: (frame_blocks, k_blocks). Per step VMEM: signal scratch (~1.4 MB),
 wc/ws table tiles (2 x 2 MB), the on-the-fly frame block (~4 MB), energy
 out tile (128 KB) — comfortably under 16 MB.
 
@@ -39,10 +39,15 @@ _SIG_ROWS = F_BLK + _ROWS
 _SIG_LEN = _SIG_ROWS * HOP_SIZE
 
 
-def _kernel(sig_ref, wc_ref, ws_ref, out_ref):
+def _kernel(sig_ref, wc_ref, ws_ref, out_ref, sig_vmem, sem):
     fb = pl.program_id(0)
-    sig = sig_ref[pl.ds(fb * F_BLK * HOP_SIZE, _SIG_LEN)]
-    rows = sig.reshape(_SIG_ROWS, HOP_SIZE)
+    # HBM -> VMEM staging: ANY/HBM refs cannot be loaded directly on TPU.
+    copy = pltpu.make_async_copy(
+        sig_ref.at[pl.ds(fb * F_BLK * HOP_SIZE, _SIG_LEN)], sig_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+    rows = sig_vmem[...].reshape(_SIG_ROWS, HOP_SIZE)
     frames = jnp.concatenate(
         [
             rows[:F_BLK],
@@ -61,7 +66,7 @@ def _kernel(sig_ref, wc_ref, ws_ref, out_ref):
     jax.jit, static_argnames=("n_frames", "interpret")
 )
 def dft_energy_pallas(sig_padded, wc, ws, n_frames, interpret=False):
-    """(T,) f32 signal (padded: T >= (n_frames + 4) * HOP_SIZE) ->
+    """(T,) f32 signal (padded: T >= (n_frames_padded + 4) * HOP_SIZE) ->
     (n_frames_padded, k_padded) f32 spectral energies.
 
     wc/ws are the windowed cos/-sin tables (4096, k) with k padded to a
@@ -90,30 +95,29 @@ def dft_energy_pallas(sig_padded, wc, ws, n_frames, interpret=False):
             (F_BLK, K_BLK), lambda fb, kb: (fb, kb), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nf_pad, k_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_SIG_LEN,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(sig_padded, wc, ws)
 
 
-@functools.lru_cache(maxsize=1)
-def _tables_k_padded():
-    """Windowed DFT tables padded on the spectral axis to a K_BLK multiple."""
-    from .jax_impl import _dft_tables
+def spectral_energy_pallas(
+    sig_padded, wc, ws, n_frames: int, interpret: bool = False
+):
+    """Drop-in spectral-energy stage: (T,) f32 -> (n_frames, n_bins) f32.
 
-    wc, ws, _ = _dft_tables()
+    wc/ws are the DEVICE table arguments threaded through the outer jit
+    (fingerprint.jax_impl._device_tables) — padding them to a K_BLK
+    multiple here is a cheap traced op, whereas baking host tables into
+    the trace would embed ~46 MB of constants per compiled program.
+    """
     k = wc.shape[1]
     k_pad = -(-k // K_BLK) * K_BLK
-    wc_p = np.zeros((FRAME_SIZE, k_pad), np.float32)
-    ws_p = np.zeros((FRAME_SIZE, k_pad), np.float32)
-    wc_p[:, :k] = wc
-    ws_p[:, :k] = ws
-    return wc_p, ws_p, k
-
-
-def spectral_energy_pallas(
-    sig_padded, n_frames: int, interpret: bool = False
-):
-    """Drop-in spectral-energy stage: (T,) f32 -> (n_frames, n_bins) f32."""
-    wc_p, ws_p, k = _tables_k_padded()
+    if k_pad != k:
+        wc = jnp.pad(wc, ((0, 0), (0, k_pad - k)))
+        ws = jnp.pad(ws, ((0, 0), (0, k_pad - k)))
     nf_pad = -(-n_frames // F_BLK) * F_BLK
     need = (nf_pad + _ROWS + 1) * HOP_SIZE
     pad = max(0, need - sig_padded.shape[0])
@@ -122,6 +126,6 @@ def spectral_energy_pallas(
             [sig_padded, jnp.zeros((pad,), jnp.float32)]
         )
     out = dft_energy_pallas(
-        sig_padded, wc_p, ws_p, n_frames, interpret=interpret
+        sig_padded, wc, ws, n_frames, interpret=interpret
     )
     return out[:n_frames, :k]

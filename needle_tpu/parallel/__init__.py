@@ -31,7 +31,6 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-EPISODE_AXIS = "episodes"
 ITEM_AXIS = "items"
 
 _active_mesh: Optional[Mesh] = None
@@ -93,12 +92,14 @@ def replicate(array, mesh: Optional[Mesh] = None):
     return jax.device_put(array, sharding)
 
 
-def shard_batch(array, mesh: Optional[Mesh] = None):
+def shard_batch(array, mesh: Optional[Mesh] = None, fill_value=0):
     """Place a batched array with its leading axis sharded over the mesh.
 
-    Pads the leading axis to a multiple of the mesh size (with zeros) and
-    returns (device_array, original_leading_size). Callers slice outputs
-    back to the original size.
+    Pads the leading axis to a multiple of the mesh size (with fill_value)
+    and returns (device_array, original_leading_size). Callers slice
+    outputs back to the original size; pick fill_value so padding lanes
+    are cheap no-ops for the consuming kernel (e.g. an unreachable
+    min-run length for search work items).
     """
     mesh = mesh if mesh is not None else get_mesh()
     b = array.shape[0]
@@ -108,7 +109,8 @@ def shard_batch(array, mesh: Optional[Mesh] = None):
     pad = (-b) % n_dev
     if pad:
         array = np.concatenate(
-            [array, np.zeros((pad,) + array.shape[1:], array.dtype)], axis=0
+            [array, np.full((pad,) + array.shape[1:], fill_value, array.dtype)],
+            axis=0,
         )
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, *([None] * (array.ndim - 1))))

@@ -362,7 +362,9 @@ class JaxSearchEngine:
                 vtab_d,
                 shard_batch(ia_b)[0],
                 shard_batch(ib_b)[0],
-                shard_batch(lm_b)[0],
+                # padding lanes get an unreachable min-run so mesh padding
+                # cannot create expensive self-match work
+                shard_batch(lm_b, fill_value=np.iinfo(np.int32).max)[0],
                 threshold,
                 n_pad,
             )

@@ -18,11 +18,17 @@ def test_dft_energy_matches_oracle(rng):
     ref = spectral_energy(frames)[:, min_idx:max_idx]  # chroma-used bins
     n_frames = ref.shape[0]
 
+    from needle_tpu.fingerprint.jax_impl import _dft_tables
+
+    wc, ws, _ = _dft_tables()
     pad_len = (n_frames + _ROWS_PER_FRAME + 1) * HOP_SIZE
     sig = np.zeros(pad_len, np.float32)
     sig[: len(mono)] = mono.astype(np.float32)
     out = np.asarray(
-        spectral_energy_pallas(jnp.asarray(sig), n_frames, interpret=True)
+        spectral_energy_pallas(
+            jnp.asarray(sig), jnp.asarray(wc), jnp.asarray(ws), n_frames,
+            interpret=True,
+        )
     )
     assert out.shape == ref.shape
     rel = np.abs(out - ref) / (np.abs(ref) + 1e3)
