@@ -124,6 +124,23 @@ def _device_tables():
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def _fingerprint_core_batched(batch_i16, wc, ws, fold, W_cls, thresholds, n_frames):
+    if _SPECTRAL == "pallas" and jax.default_backend() == "cpu":
+        # Experimental: validated in interpreter mode. On real TPUs the
+        # current Mosaic toolchain cannot lower the hop-1365 (non-lane-
+        # aligned) frame reshape, so hardware runs use the XLA matmul
+        # formulation below (which the compiler already maps to the MXU
+        # with fused framing). The kernel takes the lane axis in its own
+        # grid (ANY-space inputs cannot be vmap-batched).
+        from .pallas_impl import spectral_energy_pallas_batched
+
+        energy_b = spectral_energy_pallas_batched(
+            batch_i16.astype(jnp.float32), wc, ws, n_frames, interpret=True
+        )
+        return jax.vmap(
+            lambda e: _post_chroma(
+                jnp.dot(e, fold, precision=_PREC), W_cls, thresholds, n_frames
+            )
+        )(energy_b)
     return jax.vmap(
         lambda x: _fingerprint_core_inline(
             x.astype(jnp.float32), wc, ws, fold, W_cls, thresholds, n_frames
@@ -147,15 +164,9 @@ def _window_np() -> np.ndarray:
 
 
 def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames):
-    if _SPECTRAL == "pallas":
-        from .pallas_impl import spectral_energy_pallas
-
-        energy = spectral_energy_pallas(
-            mono_f32, wc, ws, n_frames,
-            interpret=jax.default_backend() == "cpu",
-        )
-        chroma = jnp.dot(energy, fold, precision=_PREC)
-        return _post_chroma(chroma, W_cls, thresholds, n_frames)
+    # NOTE: runs under vmap; the pallas spectral variant is handled at the
+    # batched level (_fingerprint_core_batched) — the ingest pipeline uses
+    # the matmul formulation regardless of NEEDLE_TPU_SPECTRAL.
     frames = _frames_from_padded(mono_f32, n_frames)
     if _SPECTRAL == "fft":
         min_idx, max_idx, _ = chroma_bin_ranges()

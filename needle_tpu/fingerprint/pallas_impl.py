@@ -12,9 +12,14 @@ Grid: (frame_blocks, k_blocks). Per step VMEM: signal scratch (~1.4 MB),
 wc/ws table tiles (2 x 2 MB), the on-the-fly frame block (~4 MB), energy
 out tile (128 KB) — comfortably under 16 MB.
 
-Selected with NEEDLE_TPU_SPECTRAL=pallas (default remains the plain-XLA
-matmul formulation); correctness is pinned by interpret-mode tests against
-the NumPy oracle stage.
+Status: EXPERIMENTAL — correctness is pinned by interpreter-mode tests
+against the NumPy oracle stage, and the lane axis rides the Pallas grid
+(ANY-space inputs cannot be vmap-batched). The current Mosaic toolchain
+cannot lower the hop-1365 (non-lane-aligned) frame reshape for real-TPU
+execution, so NEEDLE_TPU_SPECTRAL=pallas takes effect on CPU/interpret
+runs while hardware uses the XLA matmul formulation (which the compiler
+already fuses onto the MXU; measured within noise of this kernel's
+projected traffic savings at current batch sizes).
 """
 
 from __future__ import annotations
@@ -40,10 +45,13 @@ _SIG_LEN = _SIG_ROWS * HOP_SIZE
 
 
 def _kernel(sig_ref, wc_ref, ws_ref, out_ref, sig_vmem, sem):
-    fb = pl.program_id(0)
-    # HBM -> VMEM staging: ANY/HBM refs cannot be loaded directly on TPU.
+    b = pl.program_id(0)
+    fb = pl.program_id(1)
+    # HBM -> VMEM staging: ANY/HBM refs cannot be loaded directly on TPU,
+    # and the lane axis must live in the grid (not vmap) because ANY-space
+    # inputs only support whole-array blocks with a trivial index_map.
     copy = pltpu.make_async_copy(
-        sig_ref.at[pl.ds(fb * F_BLK * HOP_SIZE, _SIG_LEN)], sig_vmem, sem
+        sig_ref.at[b, pl.ds(fb * F_BLK * HOP_SIZE, _SIG_LEN)], sig_vmem, sem
     )
     copy.start()
     copy.wait()
@@ -59,54 +67,48 @@ def _kernel(sig_ref, wc_ref, ws_ref, out_ref, sig_vmem, sem):
     )
     re = jnp.dot(frames, wc_ref[...], preferred_element_type=jnp.float32)
     im = jnp.dot(frames, ws_ref[...], preferred_element_type=jnp.float32)
-    out_ref[...] = re * re + im * im
+    out_ref[0, :, :] = re * re + im * im
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_frames", "interpret")
-)
-def dft_energy_pallas(sig_padded, wc, ws, n_frames, interpret=False):
-    """(T,) f32 signal (padded: T >= (n_frames_padded + 4) * HOP_SIZE) ->
-    (n_frames_padded, k_padded) f32 spectral energies.
-
-    wc/ws are the windowed cos/-sin tables (4096, k) with k padded to a
-    multiple of K_BLK; callers slice the output back to the true
-    (n_frames, k) region.
-    """
+def _dft_energy_pallas_grid(sig_b, wc, ws, n_frames, interpret):
+    """(B, T) f32 signals -> (B, nf_pad, k_pad) f32 spectral energies with
+    the lane axis in the Pallas grid."""
     k_pad = wc.shape[1]
     assert k_pad % K_BLK == 0, "pad DFT tables to a K_BLK multiple"
     nf_pad = -(-n_frames // F_BLK) * F_BLK
-    grid = (nf_pad // F_BLK, k_pad // K_BLK)
+    B = sig_b.shape[0]
+    grid = (B, nf_pad // F_BLK, k_pad // K_BLK)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (FRAME_SIZE, K_BLK), lambda fb, kb: (0, kb),
+                (FRAME_SIZE, K_BLK), lambda b, fb, kb: (0, kb),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (FRAME_SIZE, K_BLK), lambda fb, kb: (0, kb),
+                (FRAME_SIZE, K_BLK), lambda b, fb, kb: (0, kb),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (F_BLK, K_BLK), lambda fb, kb: (fb, kb), memory_space=pltpu.VMEM
+            (1, F_BLK, K_BLK), lambda b, fb, kb: (b, fb, kb),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nf_pad, k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nf_pad, k_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_SIG_LEN,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(sig_padded, wc, ws)
+    )(sig_b, wc, ws)
 
 
-def spectral_energy_pallas(
-    sig_padded, wc, ws, n_frames: int, interpret: bool = False
+def spectral_energy_pallas_batched(
+    sig_b, wc, ws, n_frames: int, interpret: bool = False
 ):
-    """Drop-in spectral-energy stage: (T,) f32 -> (n_frames, n_bins) f32.
+    """Batched spectral-energy stage: (B, T) f32 -> (B, n_frames, n_bins).
 
     wc/ws are the DEVICE table arguments threaded through the outer jit
     (fingerprint.jax_impl._device_tables) — padding them to a K_BLK
@@ -120,12 +122,17 @@ def spectral_energy_pallas(
         ws = jnp.pad(ws, ((0, 0), (0, k_pad - k)))
     nf_pad = -(-n_frames // F_BLK) * F_BLK
     need = (nf_pad + _ROWS + 1) * HOP_SIZE
-    pad = max(0, need - sig_padded.shape[0])
+    pad = max(0, need - sig_b.shape[1])
     if pad:
-        sig_padded = jnp.concatenate(
-            [sig_padded, jnp.zeros((pad,), jnp.float32)]
-        )
-    out = dft_energy_pallas(
-        sig_padded, wc, ws, n_frames, interpret=interpret
-    )
-    return out[:n_frames, :k]
+        sig_b = jnp.pad(sig_b, ((0, 0), (0, pad)))
+    out = _dft_energy_pallas_grid(sig_b, wc, ws, n_frames, interpret)
+    return out[:, :n_frames, :k]
+
+
+def spectral_energy_pallas(
+    sig_padded, wc, ws, n_frames: int, interpret: bool = False
+):
+    """Single-lane wrapper: (T,) f32 -> (n_frames, n_bins) f32."""
+    return spectral_energy_pallas_batched(
+        sig_padded[None, :], wc, ws, n_frames, interpret=interpret
+    )[0]
