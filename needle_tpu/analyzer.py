@@ -226,7 +226,10 @@ class Analyzer:
         from ._jax_setup import h2d_bandwidth_mb_s
         from .fingerprint.decimate import decimation_factor, host_decimate
 
-        if decimation_factor(rate) > 1 and h2d_bandwidth_mb_s() < 60.0:
+        # A/B at 75 MB/s measured decimate-ON 4 s faster than OFF (it also
+        # halves batch assembly and device framing work); only genuinely
+        # fast local links (PCIe-class) come out ahead skipping it.
+        if decimation_factor(rate) > 1 and h2d_bandwidth_mb_s() < 400.0:
             opening_raw, new_rate = host_decimate(opening_raw, rate, channels)
             if ending_raw is not None:
                 ending_raw, _ = host_decimate(ending_raw, rate, channels)
