@@ -150,3 +150,16 @@ def test_sample_videos_endings_and_seek(sample_videos):
     # search --include-endings on empty ending data errors cleanly
     with pytest.raises(SystemExit):
         main(["search", "--include-endings", "--engine", "numpy", str(d)])
+
+
+def test_search_with_inplace_analyze(tmp_path, capsys):
+    """`search --analyze` runs the analysis in place (force, not persisted)
+    instead of loading .needle.dat (comparator.rs:637-663, data.rs:121-140)."""
+    make_synthetic_season(
+        tmp_path, num_episodes=3, episode_secs=100, opening_secs=25, seed=77
+    )
+    assert main(["search", "--analyze", "--engine", "numpy", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "* Opening - " in out
+    # in-place analysis must NOT persist hash data
+    assert list(tmp_path.glob("*.needle.dat")) == []
