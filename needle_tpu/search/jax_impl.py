@@ -90,14 +90,25 @@ def _tile_runs(src, dst, vsrc, vdst, l_min, d0, threshold, n_pad, m_pad):
         & vdstg
     )
 
+    return _diag_end_counts(S, l_min)
+
+
+def _diag_end_counts(S, l_min):
+    """Per-diagonal count of run ends with run length >= l_min.
+
+    run[i] >= L  <=>  the L cells ending at i are all matches
+                 <=>  c[i] - c[i-L] == L   (c = cumsum of S along i)
+    — one scan plus a traced-shift subtraction, instead of the cumsum +
+    cummax run-length construction (the scans are the kernel's dominant
+    cost; this halves them)."""
+    n, d = S.shape
     c = jnp.cumsum(S.astype(jnp.int32), axis=0)
-    z = jnp.where(S, 0, c)
-    run = c - jax.lax.cummax(z, axis=0)
-
-    S_next = jnp.concatenate([S[1:], jnp.zeros((1, D_TILE), bool)], axis=0)
-    ends = S & ~S_next
-    cand = ends & (run >= l_min)
-
+    cz = jnp.concatenate([jnp.zeros((n, d), jnp.int32), c], axis=0)
+    l_min = jnp.clip(l_min, 1, n)
+    shifted = jax.lax.dynamic_slice_in_dim(cz, n - l_min, n, axis=0)
+    window_full = (c - shifted) == l_min
+    S_next = jnp.concatenate([S[1:], jnp.zeros((1, d), bool)], axis=0)
+    cand = S & ~S_next & window_full
     return jnp.sum(cand.astype(jnp.int32), axis=0)
 
 
@@ -123,15 +134,74 @@ def _pair_all_tiles(src, dst, vsrc, vdst, l_min, threshold, n_pad, m_pad):
     return jnp.sum(flags.astype(jnp.uint8) * weights, axis=1, dtype=jnp.uint8)
 
 
+def _pair_counts_mxu(src, dst, vsrc, vdst, l_min, threshold, n_pad, m_pad):
+    """MXU formulation of one pair's per-diagonal candidate bitmask.
+
+    popcount-as-matmul: with hash bits mapped to +-1, the dot product of two
+    32-vectors is 32 - 2*hamming, so the full (n x m) match matrix is ONE
+    bf16 MXU matmul (exact: all values are integers within bf16's 8-bit
+    mantissa range). Diagonals then become columns with NO gather via the
+    pad+reshape skew: padding each row by (n_pad+1) columns and reshaping
+    to a (n_pad, W+1) grid shifts row i right by i, so column d of the
+    result is the diagonal at offset d - (n_pad-1). The run-length scans
+    run per diagonal tile exactly as the VPU kernel's.
+    """
+    bit_w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    src_pm1 = (
+        ((src[:, None] & bit_w) != 0).astype(jnp.bfloat16) * 2.0 - 1.0
+    )
+    dst_pm1 = (
+        ((dst[:, None] & bit_w) != 0).astype(jnp.bfloat16) * 2.0 - 1.0
+    )
+    M = jax.lax.dot_general(
+        src_pm1, dst_pm1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n_pad, m_pad): 32 - 2*hamming
+    S = (M >= jnp.float32(32 - 2 * threshold)) & vsrc[:, None] & vdst[None, :]
+
+    # skew-by-reshape: S2[i, c] = S[i, i + c - (n_pad - 1)]
+    n_diags = n_pad + m_pad - 1
+    n_tiles = -(-n_diags // D_TILE)
+    W2 = (n_pad - 1) + m_pad + (n_pad - 1) + 1  # left zeros + data + headroom
+    S2 = jnp.pad(S, ((0, 0), (n_pad - 1, W2 - m_pad - (n_pad - 1))))
+    flat = jnp.pad(S2.reshape(-1), (0, n_pad))
+    G = flat[: n_pad * (W2 + 1)].reshape(n_pad, W2 + 1)
+    G = jnp.pad(
+        G[:, : n_diags], ((0, 0), (0, n_tiles * D_TILE - n_diags))
+    )  # (n_pad, n_tiles*D_TILE), column d = diagonal offset d - (n_pad-1)
+
+    counts = []
+    for t in range(n_tiles):
+        St = G[:, t * D_TILE : (t + 1) * D_TILE]
+        counts.append(_diag_end_counts(St, l_min))
+    flags = (jnp.concatenate(counts) > 0).reshape(-1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, :]
+    return jnp.sum(flags.astype(jnp.uint8) * weights, axis=1, dtype=jnp.uint8)
+
+
+# Kernel formulation: "tiles" (VPU gather tiles; default — measured faster:
+# the run-length scans dominate, so the MXU matmul + skew only adds
+# traffic) or "mxu" (popcount-as-matmul + skew-by-reshape, kept as an
+# alternative for hardware generations with different MXU/VPU balance).
+import os as _os
+
+_KERNEL = _os.environ.get("NEEDLE_TPU_SEARCH", "tiles")
+
+
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
 def _batch_tiles_indexed(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
     """Pairs gather their episodes from a device-resident hash table, so
     each episode's hashes are uploaded ONCE per search instead of once per
     pair — at 300 episodes that is a ~450x transfer reduction and removes
     the per-chunk host buffer assembly entirely."""
+    pair_fn = _pair_counts_mxu if _KERNEL == "mxu" else (
+        lambda s, d, vs, vd, lm, thr, n, m: _pair_all_tiles(
+            s, d, vs, vd, lm, thr, n, m
+        )
+    )
 
     def one(ia, ib, lm):
-        return _pair_all_tiles(
+        return pair_fn(
             table[ia], table[ib], vtab[ia], vtab[ib],
             lm, threshold, n_pad, n_pad,
         )
