@@ -179,13 +179,44 @@ def _pair_counts_mxu(src, dst, vsrc, vdst, l_min, threshold, n_pad, m_pad):
     return jnp.sum(flags.astype(jnp.uint8) * weights, axis=1, dtype=jnp.uint8)
 
 
-# Kernel formulation: "tiles" (VPU gather tiles; default — measured faster:
-# the run-length scans dominate, so the MXU matmul + skew only adds
-# traffic) or "mxu" (popcount-as-matmul + skew-by-reshape, kept as an
-# alternative for hardware generations with different MXU/VPU balance).
+# Kernel formulation (NEEDLE_TPU_SEARCH):
+#   "pallas" — sequential VMEM run scan (search/pallas_impl.py): measured
+#              1.7x faster per chunk than the XLA tiles kernel on v5e with
+#              ~20x faster compiles; hardware default.
+#   "tiles"  — XLA gather-tile kernel: CPU/mesh default (interpret-mode
+#              pallas is slow on CPU; sharded inputs need shard_map).
+#   "mxu"    — popcount-as-matmul + skew-by-reshape (measured slower on
+#              v5e: the scans dominate; kept for other MXU/VPU balances).
 import os as _os
 
-_KERNEL = _os.environ.get("NEEDLE_TPU_SEARCH", "tiles")
+_KERNEL = _os.environ.get("NEEDLE_TPU_SEARCH", "auto")
+
+
+def _kernel_choice() -> str:
+    if _KERNEL != "auto":
+        return _KERNEL
+    from ..parallel import get_mesh
+
+    if jax.default_backend() == "cpu" or get_mesh() is not None:
+        return "tiles"
+    return "pallas"
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
+def _batch_pallas_bitmask(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
+    """Pallas-kernel chunk dispatch producing the same packed u8 bitmask
+    as the XLA kernels (episode rows gathered from the device table)."""
+    from .pallas_impl import batch_counts_pallas
+
+    nv_tab = jnp.sum(vtab, axis=1, dtype=jnp.int32) + 1
+    thr = jnp.full(ia_b.shape, threshold, jnp.int32)
+    counts = batch_counts_pallas(
+        nv_tab[ia_b], nv_tab[ib_b], lm_b, thr, table[ia_b], table[ib_b],
+        n_pad, interpret=jax.default_backend() == "cpu",
+    )
+    flags = (counts > 0).reshape(counts.shape[0], -1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    return jnp.sum(flags.astype(jnp.uint8) * weights, axis=2, dtype=jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
@@ -194,7 +225,7 @@ def _batch_tiles_indexed(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
     each episode's hashes are uploaded ONCE per search instead of once per
     pair — at 300 episodes that is a ~450x transfer reduction and removes
     the per-chunk host buffer assembly entirely."""
-    pair_fn = _pair_counts_mxu if _KERNEL == "mxu" else (
+    pair_fn = _pair_counts_mxu if _kernel_choice() == "mxu" else (
         lambda s, d, vs, vd, lm, thr, n, m: _pair_all_tiles(
             s, d, vs, vd, lm, thr, n, m
         )
@@ -353,12 +384,15 @@ class JaxSearchEngine:
         if not work:
             return results
 
+        kernel = _kernel_choice()
         n_pad = _bucket(
             max(
                 max(len(sides[a].hashes) for _, a, _ in work),
                 max(len(sides[b].hashes) for _, _, b in work),
             )
         )
+        if kernel == "pallas":
+            n_pad = -(-n_pad // D_TILE) * D_TILE  # pallas rows are 512-wide
         m_pad = n_pad
 
         # Per-pair device work; validity/boundary carried by bool arrays so
@@ -427,7 +461,11 @@ class JaxSearchEngine:
                 )
                 lm_b[r] = min(lm, np.iinfo(np.int32).max)
 
-            out = _batch_tiles_indexed(
+            dispatch = (
+                _batch_pallas_bitmask if kernel == "pallas"
+                else _batch_tiles_indexed
+            )
+            out = dispatch(
                 table_d,
                 vtab_d,
                 shard_batch(ia_b)[0],

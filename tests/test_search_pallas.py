@@ -7,12 +7,12 @@ from needle_tpu.search.pallas_impl import batch_counts_pallas
 
 
 def test_pallas_counts_match_oracle(rng):
-    n_pad, chunk = 256, 4
+    n_pad, chunk = 512, 4
     shared = rng.integers(0, 2**32, size=40, dtype=np.uint32)
     src = rng.integers(0, 2**32, size=(chunk, n_pad), dtype=np.uint32)
     dst = rng.integers(0, 2**32, size=(chunk, n_pad), dtype=np.uint32)
-    nv = np.array([200, 256, 150, 90], np.int32)
-    mv = np.array([220, 256, 100, 250], np.int32)
+    nv = np.array([200, 512, 150, 90], np.int32)
+    mv = np.array([220, 512, 100, 250], np.int32)
     for r in range(chunk):
         src[r, 30:70] = shared
         dst[r, 50:90] = shared
@@ -29,3 +29,40 @@ def test_pallas_counts_match_oracle(rng):
             )
             expect = sum(1 for (_, _, L) in cands if L >= lm[r])
             assert expect == out[r, d], (r, o, expect, out[r, d])
+
+
+def test_engine_with_pallas_kernel_matches_numpy(rng, monkeypatch):
+    """Full search engine with the pallas kernel forced (interpret on CPU)
+    must match the reference-exact numpy engine."""
+    from needle_tpu import Comparator
+    from needle_tpu.data import FrameHashes
+    from needle_tpu.duration import Duration
+    from needle_tpu.search import jax_impl as S
+
+    monkeypatch.setattr(S, "_KERNEL", "pallas")
+
+    shared = rng.integers(0, 2**32, size=70, dtype=np.uint32)
+    fhs = []
+    for e in range(4):
+        h = rng.integers(0, 2**32, size=300 + 40 * e, dtype=np.uint32)
+        h[15 + 11 * e : 15 + 11 * e + 70] = shared
+        ts = (2600090703 + np.arange(len(h)) * 247619033).astype(np.int64)
+        fhs.append(FrameHashes(h, ts, np.zeros(0, np.uint32),
+                               np.zeros(0, np.int64),
+                               Duration.from_millis(300), "b" * 32))
+
+    def run(engine):
+        cmp = Comparator.from_files(
+            [f"p{k}.mkv" for k in range(4)], engine=engine
+        ).with_min_opening_duration(Duration.from_secs(12))
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        return [None if r.opening is None else
+                (r.opening[0].total_nanos(), r.opening[1].total_nanos())
+                for r in res]
+
+    got = run("jax")
+    expect = run("numpy")
+    assert got == expect
+    assert any(g is not None for g in got)
