@@ -73,8 +73,18 @@ def main() -> None:
                 jax.numpy.asarray(lm), 10, n_pad,
             )
             np.asarray(out)
-            log(f"search n_pad={n_pad} e_pad={e_pad} chunk={chunk}: "
+            log(f"search/tiles n_pad={n_pad} e_pad={e_pad} chunk={chunk}: "
                 f"{time.time() - t0:.1f}s")
+            if n_pad % 512 == 0 and jax.default_backend() != "cpu":
+                t0 = time.time()
+                out = S._batch_pallas_bitmask(
+                    jax.device_put(table), jax.device_put(vt),
+                    jax.numpy.asarray(ia), jax.numpy.asarray(ia),
+                    jax.numpy.asarray(lm), 10, n_pad,
+                )
+                np.asarray(out)
+                log(f"search/pallas n_pad={n_pad} e_pad={e_pad}: "
+                    f"{time.time() - t0:.1f}s")
     log("done")
 
 
