@@ -400,8 +400,14 @@ class JaxSearchEngine:
         # Chunk sizes are quantized to powers of two (tail chunks are padded
         # to the same lane count by the fixed-shape buffers below), so the
         # set of compiled programs stays small no matter the library size.
-        per_pair_bytes = n_pad * D_TILE * 12 * 4  # a few live tiles per pair
-        chunk = max(1, min(128, self.mem_budget // max(per_pair_bytes, 1)))
+        if kernel == "pallas":
+            # the pallas kernel keeps per-pair state in VMEM scratch; the
+            # only per-chunk device memory is the gathered hash rows, so
+            # large chunks amortize dispatch overhead
+            chunk = 512
+        else:
+            per_pair_bytes = n_pad * D_TILE * 12 * 4  # live tiles per pair
+            chunk = max(1, min(128, self.mem_budget // max(per_pair_bytes, 1)))
         pow2 = 1
         while pow2 < len(work) and pow2 < chunk:
             pow2 *= 2
