@@ -283,6 +283,15 @@ def main():
     total = t_analyze + t_search
     acc = accuracy(results, paths, op_truth, end_truth)
 
+    from needle_tpu._jax_setup import h2d_bandwidth_mb_s
+    from needle_tpu.tracing import report_metrics
+
+    report_metrics()  # stage table when NEEDLE_TPU_TIMINGS=1
+    # Record the transport era so rounds are comparable: the tunnel's
+    # host->device bandwidth swings 9 MB/s - 1.3 GB/s between sessions and
+    # dominates analyze wall time (VERDICT r1, weak #7).
+    h2d = h2d_bandwidth_mb_s()
+
     minutes_audio = NUM_EPISODES * EPISODE_SECS / 60.0
     print(
         json.dumps(
@@ -302,6 +311,9 @@ def main():
                 ),
                 "accuracy_vs_truth": round(acc, 4),
                 "setup_s": round(setup_s, 2),
+                "h2d_mb_s": round(h2d, 1),
+                "analyze_trials_s": [round(t, 3) for t in analyze_times],
+                "search_trials_s": [round(t, 3) for t in search_times],
                 "trials": TRIALS,
             }
         )

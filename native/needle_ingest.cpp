@@ -258,6 +258,15 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
         }
         // stream_index = -1 (like the reference's seek wrapper) means the
         // timestamps are in AV_TIME_BASE (microsecond) units.
+        // Intentional divergence (mirrors the duration one above): the
+        // reference computes seek targets as ms / stream-time_base
+        // (audio/util.rs:18-27), which equals microseconds only for 1/1000
+        // time bases (Matroska). We seek to the physically correct
+        // AV_TIME_BASE position; for non-ms time bases (e.g. MP4 at
+        // 1/44100) the reference lands at the wrong media time, so ending-
+        // window hashes can differ from reference output there. This fixes
+        // a reference bug at the cost of bug-for-bug output compatibility
+        // for such containers.
         int64_t ts = (int64_t)(timestamp_ms * 1000.0);
         int64_t min_ts = (int64_t)(min_ms * 1000.0);
         if (min_ts < 0) min_ts = 0;

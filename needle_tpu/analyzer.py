@@ -203,8 +203,10 @@ class Analyzer:
         samples.
         """
         from . import ingest
+        from .tracing import span
 
-        samples, rate, channels, duration_secs = ingest.read_pcm_raw(path)
+        with span("ingest.read_raw"):
+            samples, rate, channels, duration_secs = ingest.read_pcm_raw(path)
         stream_duration = Duration.from_secs_f64(duration_secs)
         opening_duration = stream_duration.mul_f32(
             np.float32(self.opening_search_percentage)
@@ -223,17 +225,23 @@ class Analyzer:
         # decimating to >= 8 kHz before upload halves-to-quarters the bytes
         # on the host->device pipe with no information loss for the hashes.
         # Only worth the host CPU when the transport is the bottleneck.
-        from ._jax_setup import h2d_bandwidth_mb_s
         from .fingerprint.decimate import decimation_factor, host_decimate
 
-        # A/B at 75 MB/s measured decimate-ON 4 s faster than OFF (it also
-        # halves batch assembly and device framing work); only genuinely
-        # fast local links (PCIe-class) come out ahead skipping it.
-        if decimation_factor(rate) > 1 and h2d_bandwidth_mb_s() < 400.0:
-            opening_raw, new_rate = host_decimate(opening_raw, rate, channels)
-            if ending_raw is not None:
-                ending_raw, _ = host_decimate(ending_raw, rate, channels)
-            rate = new_rate
+        # Deterministic: always decimate supported rates (A/B at 75 MB/s
+        # measured decimate-ON 4 s faster than OFF — it also halves batch
+        # assembly and device framing work; only PCIe-class links come out
+        # ahead skipping it, and keying the choice on a measured-bandwidth
+        # threshold made the same file hash differently between sessions).
+        # NEEDLE_TPU_DECIMATE=0 opts out explicitly.
+        import os
+
+        decimate_on = os.environ.get("NEEDLE_TPU_DECIMATE", "1") not in ("0", "")
+        if decimation_factor(rate) > 1 and decimate_on:
+            with span("ingest.decimate"):
+                opening_raw, new_rate = host_decimate(opening_raw, rate, channels)
+                if ending_raw is not None:
+                    ending_raw, _ = host_decimate(ending_raw, rate, channels)
+                rate = new_rate
         return opening_raw, ending_raw, rate, channels, seek_to
 
     # -- hash assembly (analyzer.rs:286-318) -----------------------------------

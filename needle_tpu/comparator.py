@@ -395,10 +395,27 @@ class Comparator:
         write_skip_files: bool,
         threading: bool = True,
     ) -> List[SearchResult]:
-        """comparator.rs:637-663."""
-        frame_hashes = [
-            FrameHashes.from_video(video, analyze) for video in self.videos
-        ]
+        """comparator.rs:637-663.
+
+        With analyze=True the reference runs a SERIAL per-video in-place
+        analysis (comparator.rs:650-654 -> data.rs:130-139). Here all videos
+        go through the Analyzer's batched device pipeline in one pass (same
+        per-video semantics: force, default hash duration, not persisted) —
+        the TPU-first equivalent of that loop.
+        """
+        if analyze:
+            from .analyzer import Analyzer
+            from .constants import DEFAULT_HASH_DURATION
+
+            analyzer = Analyzer(list(self.videos)).with_force(True)
+            hash_duration = Duration.from_secs_f32(DEFAULT_HASH_DURATION)
+            frame_hashes = analyzer.run(
+                hash_duration, persist=False, threading=threading
+            )
+        else:
+            frame_hashes = [
+                FrameHashes.from_video(video) for video in self.videos
+            ]
         return self.run_with_frame_hashes(
             frame_hashes, display, use_skip_files, write_skip_files, threading
         )

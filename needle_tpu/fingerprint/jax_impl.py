@@ -122,8 +122,10 @@ def _device_tables():
     return _device_tables_cache[key]
 
 
-@functools.partial(jax.jit, static_argnames=("n_frames",))
-def _fingerprint_core_batched(batch_i16, wc, ws, fold, W_cls, thresholds, n_frames):
+@functools.partial(jax.jit, static_argnames=("n_frames", "with_flags"))
+def _fingerprint_core_batched(
+    batch_i16, wc, ws, fold, W_cls, thresholds, n_frames, with_flags=False
+):
     if _SPECTRAL == "pallas" and jax.default_backend() == "cpu":
         # Experimental: validated in interpreter mode. On real TPUs the
         # current Mosaic toolchain cannot lower the hop-1365 (non-lane-
@@ -138,12 +140,14 @@ def _fingerprint_core_batched(batch_i16, wc, ws, fold, W_cls, thresholds, n_fram
         )
         return jax.vmap(
             lambda e: _post_chroma(
-                jnp.dot(e, fold, precision=_PREC), W_cls, thresholds, n_frames
+                jnp.dot(e, fold, precision=_PREC), W_cls, thresholds, n_frames,
+                with_flags=with_flags,
             )
         )(energy_b)
     return jax.vmap(
         lambda x: _fingerprint_core_inline(
-            x.astype(jnp.float32), wc, ws, fold, W_cls, thresholds, n_frames
+            x.astype(jnp.float32), wc, ws, fold, W_cls, thresholds, n_frames,
+            with_flags=with_flags,
         )
     )(batch_i16)
 
@@ -163,7 +167,9 @@ def _window_np() -> np.ndarray:
     return hamming_window(FRAME_SIZE, WINDOW_SCALE).astype(np.float32)
 
 
-def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames):
+def _fingerprint_core_inline(
+    mono_f32, wc, ws, fold, W_cls, thresholds, n_frames, with_flags=False
+):
     # NOTE: runs under vmap; the pallas spectral variant is handled at the
     # batched level (_fingerprint_core_batched) — the ingest pipeline uses
     # the matmul formulation regardless of NEEDLE_TPU_SPECTRAL.
@@ -178,11 +184,30 @@ def _fingerprint_core_inline(mono_f32, wc, ws, fold, W_cls, thresholds, n_frames
         im = jnp.dot(frames, ws, precision=_PREC)
         energy = re * re + im * im
     chroma = jnp.dot(energy, fold, precision=_PREC)
-    return _post_chroma(chroma, W_cls, thresholds, n_frames)
+    return _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=with_flags)
 
 
-def _post_chroma(chroma, W_cls, thresholds, n_frames):
-    """Chroma filter -> normalize -> classifiers -> gray-coded u32 packing."""
+# Borderline margin for the bit-exact rescan: a device f32 classifier value
+# (or chroma norm) within this distance of a quantizer (or zeroing) threshold
+# is flagged and its subfingerprint recomputed with the host oracle. Measured
+# max |values_jax - values_oracle| is ~4e-7 on CPU (same order expected for
+# f32-HIGHEST MXU matmuls); 1e-5 gives a ~25x safety margin at a ~0.3% flag
+# rate. NEEDLE_TPU_EXACT=0 disables flagging+rescan; NEEDLE_TPU_EXACT_EPS
+# overrides the margin.
+def _exact_eps() -> float:
+    return float(_os.environ.get("NEEDLE_TPU_EXACT_EPS", "1e-5"))
+
+
+def _exact_enabled() -> bool:
+    return _os.environ.get("NEEDLE_TPU_EXACT", "1") not in ("0", "")
+
+
+def _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=False):
+    """Chroma filter -> normalize -> classifiers -> gray-coded u32 packing.
+
+    With with_flags=True also returns a per-subfingerprint bool marking
+    hashes whose quantization is within float noise of a threshold (rescan
+    candidates for the bit-exact host pass)."""
     n_filt = n_frames - (len(CHROMA_FILTER_COEFFS) - 1)
     filtered = jnp.zeros((n_filt, NUM_BANDS), jnp.float32)
     for k_i, coeff in enumerate(CHROMA_FILTER_COEFFS):
@@ -204,7 +229,22 @@ def _post_chroma(chroma, W_cls, thresholds, n_frames):
         + (values >= thresholds[None, :, 2]).astype(jnp.uint32)
     )
     gray = jnp.array([0, 1, 3, 2], jnp.uint32)[q]
-    return _pack_bits(gray)
+    hashes = _pack_bits(gray)
+    if not with_flags:
+        return hashes
+    eps = jnp.float32(_exact_eps())
+    # classifier-value margin: min over (16 classifiers x 3 thresholds)
+    margin = jnp.min(
+        jnp.abs(values[:, :, None] - thresholds[None, :, :]), axis=(1, 2)
+    )
+    flag_val = margin < eps
+    # norm-zeroing margin: normalized frame j feeds subfingerprints
+    # j-15..j, so OR the per-frame flag over each 16-frame window
+    flag_norm = jnp.abs(norm[:, 0] - jnp.float32(CHROMA_NORM_THRESHOLD)) < eps
+    flag_norm_w = flag_norm[:n_sub]
+    for k in range(1, MAX_FILTER_WIDTH):
+        flag_norm_w = flag_norm_w | flag_norm[k : k + n_sub]
+    return hashes, flag_val | flag_norm_w
 
 
 # ---------------------------------------------------------------------------
@@ -359,20 +399,28 @@ class IngestDispatcher:
             self._dispatch(nf_b)
 
     def _dispatch(self, nf_b: int) -> None:
+        from ..tracing import span
+
         refs, segs = self._pending.pop(nf_b)
         _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
         in_len *= self.channels
-        batch = np.zeros((LANES, in_len), np.int16)
-        for r, s in enumerate(segs):
-            batch[r, : min(len(s), in_len)] = s[:in_len]
-        out = _ingest_fingerprint_batched(
-            jnp.asarray(batch), self._rs_mat, *self._tables,
-            self.in_rate, self.channels, nf_b,
-        )
+        with span("ingest.batch_assemble"):
+            batch = np.zeros((LANES, in_len), np.int16)
+            for r, s in enumerate(segs):
+                batch[r, : min(len(s), in_len)] = s[:in_len]
+        with span("ingest.upload"):
+            device_batch = jax.device_put(batch)
+        with span("ingest.dispatch"):
+            out = _ingest_fingerprint_batched(
+                device_batch, self._rs_mat, *self._tables,
+                self.in_rate, self.channels, nf_b,
+            )
         self._launched.append((refs, out))
 
     def finish(self) -> dict:
         """Flush partial chunks, collect everything. Returns ref->hashes."""
+        from ..tracing import span
+
         for nf_b in list(self._pending):
             self._dispatch(nf_b)
         flat_refs: List = []
@@ -384,7 +432,8 @@ class IngestDispatcher:
         out_lens = [self._out_lens[r] for r in flat_refs]
         flat_results: List = [None] * len(flat_refs)
         if lane_lists:
-            _collect_lanes(lane_lists, out_lens, flat_results)
+            with span("ingest.collect"):
+                _collect_lanes(lane_lists, out_lens, flat_results)
         results = dict(self._empty)
         results.update(zip(flat_refs, flat_results))
         self._launched, self._pending, self._empty = [], {}, {}
@@ -456,6 +505,13 @@ def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
     chunks (padding the tail), uploaded as int16 — one compiled program per
     bucket serves any library size, and the episodes axis is the natural
     data-parallel axis on TPU (sharding over meshes via needle_tpu.parallel).
+
+    Bit-exactness: the device pipeline also flags hashes whose quantization
+    landed within float noise of a classifier/zeroing threshold; flagged
+    positions are recomputed with the host oracle (numpy_impl), making the
+    returned hashes exactly equal to fingerprint_numpy's. Disable with
+    NEEDLE_TPU_EXACT=0 (the search threshold absorbs the ~0.05% 1-bit
+    differences; rescan costs a little host FFT time).
     """
     monos = [np.asarray(m, dtype=np.int16) for m in monos]
     if not monos:
@@ -478,8 +534,10 @@ def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
         n_dev = int(np.prod(mesh.devices.shape))
         lanes = max(lanes, n_dev * max(1, lanes // n_dev))
 
+    exact = _exact_enabled()
     tables = _device_tables()
     launched = []
+    flag_launched = []
     for nf_b, idxs in sorted(groups.items()):
         pad_len = (nf_b + _ROWS_PER_FRAME + 1) * HOP_SIZE
         for c0 in range(0, len(idxs), lanes):
@@ -489,8 +547,38 @@ def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
                 m = monos[si]
                 batch[r, : min(len(m), pad_len)] = m[:pad_len]
             device_batch, _ = shard_batch(batch)
-            out = _fingerprint_core_batched(device_batch, *tables, nf_b)
-            launched.append((lane_idxs, out))
+            out = _fingerprint_core_batched(
+                device_batch, *tables, nf_b, with_flags=exact
+            )
+            if exact:
+                launched.append((lane_idxs, out[0]))
+                flag_launched.append((lane_idxs, out[1]))
+            else:
+                launched.append((lane_idxs, out))
 
     _collect_lanes(launched, n_subs, results)
+    if exact:
+        flags: List = [None] * len(monos)
+        _collect_lanes(flag_launched, n_subs, flags)
+        _rescan_borderline(monos, results, flags)
     return results
+
+
+def _rescan_borderline(monos, results, flags) -> None:
+    """Recompute flagged (borderline-quantized) subfingerprints with the
+    host oracle, in place. Flagged runs are merged into ranges so the
+    ~19-frame dependency overhead is shared."""
+    from .numpy_impl import fingerprint_numpy_window, merge_flag_ranges
+    from ..tracing import span
+
+    total = sum(int(f.sum()) for f in flags if f is not None and len(f))
+    if not total:
+        return
+    with span("fingerprint.rescan", flagged=total):
+        for idx, f in enumerate(flags):
+            if f is None or not len(f) or not f.any():
+                continue
+            for lo, hi in merge_flag_ranges(np.nonzero(f)[0]):
+                results[idx][lo:hi] = fingerprint_numpy_window(
+                    monos[idx], lo, hi
+                )

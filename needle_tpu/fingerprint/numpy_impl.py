@@ -155,6 +155,39 @@ def fingerprint_numpy(mono_i16: np.ndarray) -> np.ndarray:
     return classify(normalized)
 
 
+def fingerprint_numpy_window(
+    mono_i16: np.ndarray, lo: int, hi: int
+) -> np.ndarray:
+    """Recompute subfingerprints [lo, hi) of fingerprint_numpy(mono_i16)
+    from only the samples they depend on.
+
+    Subfingerprint i depends on FFT frames i .. i+19 (16-frame classifier
+    window over 5-tap-filtered chroma), i.e. samples
+    [i*HOP_SIZE, (i+19)*HOP_SIZE + FRAME_SIZE). Because the dependency
+    window starts on a hop boundary, running the full pipeline on that
+    slice reproduces the global subfingerprints exactly. Used by the JAX
+    backend's bit-exact rescan of borderline-quantized hashes."""
+    extra = (len(CHROMA_FILTER_COEFFS) - 1) + (MAX_FILTER_WIDTH - 1)  # 19
+    s_lo = lo * HOP_SIZE
+    s_hi = min(len(mono_i16), (hi - 1 + extra) * HOP_SIZE + FRAME_SIZE)
+    out = fingerprint_numpy(np.asarray(mono_i16[s_lo:s_hi], dtype=np.int16))
+    return out[: hi - lo]
+
+
+def merge_flag_ranges(flagged: np.ndarray, gap: int = 19):
+    """Group sorted flagged indices into [lo, hi) ranges, merging ranges
+    closer than `gap` (each range costs ~gap frames of fixed overhead to
+    recompute, so nearer ranges are cheaper merged)."""
+    ranges = []
+    for i in np.asarray(flagged, dtype=np.int64):
+        i = int(i)
+        if ranges and i - ranges[-1][1] <= gap:
+            ranges[-1][1] = i + 1
+        else:
+            ranges.append([i, i + 1])
+    return [(lo, hi) for lo, hi in ranges]
+
+
 def fingerprint_numpy_stereo(interleaved_i16: np.ndarray) -> np.ndarray:
     """Stereo interleaved i16 @ 11025 Hz -> subfingerprints (downmix first),
     matching how the reference feeds chromaprint (analyzer.rs:218, 263-275)."""

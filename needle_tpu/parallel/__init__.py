@@ -36,21 +36,45 @@ ITEM_AXIS = "items"
 _active_mesh: Optional[Mesh] = None
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = ITEM_AXIS) -> Mesh:
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_name: str = ITEM_AXIS,
+    allow_cpu_fallback: Optional[bool] = None,
+) -> Mesh:
     """1-D mesh over the first `n_devices` devices (default: all).
 
-    If the default platform has fewer devices than requested, falls back to
-    the CPU platform (useful with --xla_force_host_platform_device_count=N
-    for validating multi-chip sharding without hardware).
+    If the default platform has fewer devices than requested, the CPU
+    platform (with --xla_force_host_platform_device_count=N) can stand in —
+    but only with explicit opt-in, via `allow_cpu_fallback=True` or
+    NEEDLE_TPU_CPU_MESH_FALLBACK=1. On a 1-chip TPU host a silent fallback
+    would quietly shard device-bound work onto host CPU devices; the default
+    is to raise instead. When the default platform already IS cpu (tests,
+    dryruns) no fallback is involved.
     """
+    import os
+
     devices = jax.devices()
     if n_devices is not None and len(devices) < n_devices:
-        try:
-            cpu = jax.devices("cpu")
+        if allow_cpu_fallback is None:
+            allow_cpu_fallback = os.environ.get(
+                "NEEDLE_TPU_CPU_MESH_FALLBACK", ""
+            ) not in ("", "0")
+        if allow_cpu_fallback:
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
             if len(cpu) >= n_devices:
+                import logging
+
+                logging.getLogger("needle_tpu").warning(
+                    "make_mesh: default platform %r has %d device(s) < %d; "
+                    "falling back to a %d-device CPU mesh "
+                    "(NEEDLE_TPU_CPU_MESH_FALLBACK)",
+                    devices[0].platform if devices else "?",
+                    len(devices), n_devices, n_devices,
+                )
                 devices = cpu
-        except RuntimeError:
-            pass
     if n_devices is not None:
         if len(devices) < n_devices:
             raise RuntimeError(

@@ -284,7 +284,11 @@ class _EpisodeSide:
         self.ts = np.asarray(ts, dtype=np.int64)
         self._simhash_prefix = None
         if len(ts) >= 2:
-            self.max_spacing = int(np.max(np.diff(self.ts)))
+            # Clamp to >= 1: identical timestamps (corrupt or externally
+            # produced .dat files) would otherwise divide-by-zero in the
+            # min-run-length bound. A smaller-than-true spacing only
+            # over-flags diagonals; the exact host filter stays correct.
+            self.max_spacing = max(1, int(np.max(np.diff(self.ts))))
         else:
             self.max_spacing = 1
 

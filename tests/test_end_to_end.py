@@ -163,3 +163,58 @@ def test_search_with_inplace_analyze(tmp_path, capsys):
     assert "* Opening - " in out
     # in-place analysis must NOT persist hash data
     assert list(tmp_path.glob("*.needle.dat")) == []
+
+
+def test_search_analyze_uses_batched_pipeline(tmp_path, monkeypatch):
+    """Comparator.run(analyze=True) routes ALL videos through the Analyzer's
+    batched device pipeline in one pass — never N serial run_single calls
+    (TPU-first rearchitecture of comparator.rs:650-654) — with results
+    identical to the per-video path."""
+    from needle_tpu import Comparator
+    from needle_tpu.analyzer import Analyzer
+    from needle_tpu.data import FrameHashes
+
+    make_synthetic_season(
+        tmp_path, num_episodes=3, episode_secs=100, opening_secs=25, seed=78
+    )
+    paths = sorted(
+        p for p in tmp_path.iterdir() if not p.name.endswith(".json")
+    )
+
+    # per-video reference results (the old path)
+    per_video = [FrameHashes.from_video(p, analyze=True) for p in paths]
+
+    batched_calls = []
+    orig = Analyzer._run_batched
+
+    def spy(self, *a, **k):
+        batched_calls.append(len(self.videos))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Analyzer, "_run_batched", spy)
+    monkeypatch.setattr(
+        Analyzer,
+        "run_single",
+        lambda *a, **k: pytest.fail("run_single called from search --analyze"),
+    )
+    cmp = Comparator.from_files(paths, engine="jax")
+    res = cmp.run(
+        analyze=True, display=False, use_skip_files=False,
+        write_skip_files=False,
+    )
+    assert batched_calls == [len(paths)]
+    assert any(r.opening is not None for r in res)
+    assert list(tmp_path.glob("*.needle.dat")) == []
+
+    # identical hashes to the per-video in-place path
+    monkeypatch.undo()
+    analyzer = Analyzer(list(paths)).with_force(True)
+    from needle_tpu.constants import DEFAULT_HASH_DURATION
+    from needle_tpu.duration import Duration
+
+    batched = analyzer.run(
+        Duration.from_secs_f32(DEFAULT_HASH_DURATION), persist=False
+    )
+    for b, s in zip(batched, per_video):
+        np.testing.assert_array_equal(b.opening_hashes, s.opening_hashes)
+        np.testing.assert_array_equal(b.opening_ts_nanos, s.opening_ts_nanos)

@@ -87,3 +87,30 @@ def test_hash_count_formula(rng):
     for secs in [5, 12, 30]:
         pcm = (rng.standard_normal(SR * secs) * 5000).astype(np.int16)
         assert len(fingerprint_numpy(pcm)) == num_subfingerprints(len(pcm))
+
+
+def test_windowed_recompute_matches_full(rng):
+    """fingerprint_numpy_window([lo,hi)) == fingerprint_numpy[lo:hi] for any
+    range — the local dependency window of a subfingerprint is exactly 20
+    FFT frames (used by the JAX backend's bit-exact rescan)."""
+    from needle_tpu.fingerprint.numpy_impl import (
+        fingerprint_numpy,
+        fingerprint_numpy_window,
+        merge_flag_ranges,
+    )
+
+    mono = (rng.standard_normal(11025 * 25) * 9000).astype(np.int16)
+    full = fingerprint_numpy(mono)
+    n = len(full)
+    assert n > 40
+    for lo, hi in ((0, 3), (5, 6), (n - 4, n), (10, 30), (0, n)):
+        np.testing.assert_array_equal(
+            fingerprint_numpy_window(mono, lo, hi), full[lo:hi]
+        )
+
+    assert merge_flag_ranges([]) == []
+    assert merge_flag_ranges([4]) == [(4, 5)]
+    assert merge_flag_ranges([1, 2, 3]) == [(1, 4)]
+    assert merge_flag_ranges([1, 20, 100], gap=19) == [(1, 21), (100, 101)]
+    assert merge_flag_ranges([1, 21], gap=19) == [(1, 22)]
+    assert merge_flag_ranges([1, 22], gap=19) == [(1, 2), (22, 23)]

@@ -74,11 +74,8 @@ def test_decimation_forced_on_and_off_agree(tmp_path, rng, monkeypatch):
 
     hd = Duration.from_secs_f32(np.float32(0.3))
     outs = {}
-    for mbs, tag in ((1.0, "slow"), (1e9, "fast")):
-        monkeypatch.setenv("NEEDLE_TPU_H2D_MBS", str(mbs))
-        import needle_tpu._jax_setup as js
-
-        js._h2d_bandwidth = None  # re-probe from env
+    for flag, tag in (("1", "on"), ("0", "off")):
+        monkeypatch.setenv("NEEDLE_TPU_DECIMATE", flag)
         fhs = Analyzer.from_files(paths, backend="jax").run(hd, persist=False)
         res = Comparator.from_files(paths, engine="jax").run_with_frame_hashes(
             fhs, display=False, use_skip_files=False, write_skip_files=False
@@ -88,11 +85,10 @@ def test_decimation_forced_on_and_off_agree(tmp_path, rng, monkeypatch):
             (r.opening[0].as_secs_f64(), r.opening[1].as_secs_f64())
             for r in res
         ]
-        js._h2d_bandwidth = None
-    for a, b in zip(outs["slow"], outs["fast"]):
+    for a, b in zip(outs["on"], outs["off"]):
         assert (a is None) == (b is None)
         if a is not None:
             # hash-granularity (~0.25 s) agreement between the 8 kHz and
             # 16 kHz ingest paths
             assert abs(a[0] - b[0]) < 0.6 and abs(a[1] - b[1]) < 0.6, (a, b)
-    assert any(o is not None for o in outs["slow"])
+    assert any(o is not None for o in outs["on"])
