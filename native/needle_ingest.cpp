@@ -72,10 +72,21 @@ struct Resampler {
     int init_from(const AVChannelLayout *in_layout, AVSampleFormat in_fmt, int in_rate) {
         if (swr) swr_free(&swr);
         AVChannelLayout out_layout = AV_CHANNEL_LAYOUT_STEREO;
-        // FFmpeg 5.1's swr_alloc_set_opts2 takes non-const layout pointers.
+        // Normalize UNSPEC-order layouts (PCM-in-Matroska decoders emit
+        // them) to the native default: swr_init itself normalizes its
+        // stored input layout, so configuring with UNSPEC would make every
+        // subsequent swr_convert_frame report INPUT_CHANGED forever. The
+        // reference's ffmpeg-next 7 uses u64 channel-mask layouts, which
+        // are always native-order — this matches its semantics.
+        AVChannelLayout in_norm;
+        if (in_layout->order == AV_CHANNEL_ORDER_UNSPEC) {
+            av_channel_layout_default(&in_norm, in_layout->nb_channels);
+        } else {
+            av_channel_layout_copy(&in_norm, in_layout);
+        }
         int ret = swr_alloc_set_opts2(&swr, &out_layout, AV_SAMPLE_FMT_S16, out_rate,
-                                      const_cast<AVChannelLayout *>(in_layout), in_fmt,
-                                      in_rate, 0, nullptr);
+                                      &in_norm, in_fmt, in_rate, 0, nullptr);
+        av_channel_layout_uninit(&in_norm);
         if (ret < 0) return ret;
         return swr_init(swr);
     }
@@ -83,6 +94,16 @@ struct Resampler {
     // Mirror of ffmpeg-next Context::run + the reference's flush loop.
     // Returns 0 on success.
     int convert_and_append(AVFrame *in, AVFrame *scratch, Output &out) {
+        // Match init_from's UNSPEC normalization on the frame itself, or
+        // swr_convert_frame's config comparison flags INPUT_CHANGED on
+        // every frame of an UNSPEC-layout stream.
+        if (in && in->ch_layout.order == AV_CHANNEL_ORDER_UNSPEC) {
+            AVChannelLayout norm;
+            av_channel_layout_default(&norm, in->ch_layout.nb_channels);
+            av_channel_layout_uninit(&in->ch_layout);
+            av_channel_layout_copy(&in->ch_layout, &norm);
+            av_channel_layout_uninit(&norm);
+        }
         av_frame_unref(scratch);
         scratch->ch_layout = AV_CHANNEL_LAYOUT_STEREO;
         scratch->format = AV_SAMPLE_FMT_S16;
@@ -423,6 +444,211 @@ int ni_resample_pcm(const void *in, int64_t n_in_frames, int in_rate, int in_cha
     swr_free(&swr);
     *out_samples = buf;
     *out_n_samples = ((int64_t)n1 + n2) * 2;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Test-fixture muxer: encode interleaved i16 PCM into a real container
+// (format inferred from the path extension, codec by name: "pcm_s16le",
+// "aac", "mp2", ...). Exists so the test suite can synthesize mkv/mp4/mp2
+// fixtures for the decode/seek/InputChanged paths without an ffmpeg CLI
+// binary (there is none in this environment). Not part of the needle API
+// surface (the reference ships prebuilt mp4 resources instead).
+// ---------------------------------------------------------------------------
+int ni_write_media(const char *path, const char *codec_name,
+                   const int16_t *pcm, int64_t n_in_frames, int rate,
+                   int channels, int with_video, char *err, int errcap) {
+    AVFormatContext *oc = nullptr;
+    int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
+    if (ret < 0 || !oc) {
+        set_err(err, errcap, "no muxer for path: " + av_err_str(ret));
+        return -1;
+    }
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        avformat_free_context(oc);
+        set_err(err, errcap, std::string("no encoder: ") + codec_name);
+        return -1;
+    }
+    AVCodecContext *enc = avcodec_alloc_context3(codec);
+    enc->sample_rate = rate;
+    av_channel_layout_default(&enc->ch_layout, channels);
+    enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0] : AV_SAMPLE_FMT_S16;
+    enc->time_base = AVRational{1, rate};
+    enc->bit_rate = 128000 * channels;
+    if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+        enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if ((ret = avcodec_open2(enc, codec, nullptr)) < 0) {
+        avcodec_free_context(&enc);
+        avformat_free_context(oc);
+        set_err(err, errcap, "encoder open failed: " + av_err_str(ret));
+        return -1;
+    }
+    AVStream *st = avformat_new_stream(oc, nullptr);
+    st->time_base = enc->time_base;
+    avcodec_parameters_from_context(st->codecpar, enc);
+
+    // Optional 16x16 mjpeg video track (1 fps): real episode containers
+    // have a video stream, and the reference's validity check requires one
+    // (util.rs:40-52), so fixtures exercising the CLI path need it too.
+    AVCodecContext *venc = nullptr;
+    AVStream *vst = nullptr;
+    if (with_video) {
+        const AVCodec *vcodec = avcodec_find_encoder_by_name("mjpeg");
+        if (vcodec) {
+            venc = avcodec_alloc_context3(vcodec);
+            venc->width = 16;
+            venc->height = 16;
+            venc->pix_fmt = AV_PIX_FMT_YUVJ420P;
+            venc->time_base = AVRational{1, 1};
+            venc->framerate = AVRational{1, 1};
+            if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+                venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+            if (avcodec_open2(venc, vcodec, nullptr) < 0) {
+                avcodec_free_context(&venc);
+            } else {
+                vst = avformat_new_stream(oc, nullptr);
+                vst->time_base = venc->time_base;
+                avcodec_parameters_from_context(vst->codecpar, venc);
+            }
+        }
+    }
+
+    // i16 interleaved -> whatever the encoder wants (e.g. fltp for aac)
+    AVChannelLayout in_layout;
+    av_channel_layout_default(&in_layout, channels);
+    SwrContext *swr = nullptr;
+    ret = swr_alloc_set_opts2(&swr, &enc->ch_layout, enc->sample_fmt, rate,
+                              &in_layout, AV_SAMPLE_FMT_S16, rate, 0, nullptr);
+    av_channel_layout_uninit(&in_layout);
+    if (ret < 0 || (ret = swr_init(swr)) < 0) {
+        if (swr) swr_free(&swr);
+        avcodec_free_context(&enc);
+        avformat_free_context(oc);
+        set_err(err, errcap, "fixture swr init failed: " + av_err_str(ret));
+        return -1;
+    }
+
+    bool io_open = false;
+    AVFrame *frame = av_frame_alloc();
+    AVPacket *pkt = av_packet_alloc();
+    int frame_size = enc->frame_size > 0 ? enc->frame_size : 4096;
+    int64_t pos = 0, pts = 0;
+    std::string fail;
+
+    auto drain = [&](bool flush) -> int {
+        int r = avcodec_send_frame(enc, flush ? nullptr : frame);
+        if (r < 0) return r;
+        while ((r = avcodec_receive_packet(enc, pkt)) >= 0) {
+            av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+            pkt->stream_index = st->index;
+            r = av_interleaved_write_frame(oc, pkt);
+            av_packet_unref(pkt);
+            if (r < 0) return r;
+        }
+        return (r == AVERROR(EAGAIN) || r == AVERROR_EOF) ? 0 : r;
+    };
+
+    do {
+        if (!(oc->oformat->flags & AVFMT_NOFILE)) {
+            if ((ret = avio_open(&oc->pb, path, AVIO_FLAG_WRITE)) < 0) {
+                fail = "avio_open failed: " + av_err_str(ret);
+                break;
+            }
+            io_open = true;
+        }
+        if ((ret = avformat_write_header(oc, nullptr)) < 0) {
+            fail = "write_header failed: " + av_err_str(ret);
+            break;
+        }
+        AVFrame *vf = nullptr;
+        int v_next = 0;  // next video pts (seconds) to emit
+        if (venc && vst) {
+            vf = av_frame_alloc();
+            vf->width = 16;
+            vf->height = 16;
+            vf->format = AV_PIX_FMT_YUVJ420P;
+            av_frame_get_buffer(vf, 0);
+            for (int y = 0; y < 16; y++)
+                memset(vf->data[0] + y * vf->linesize[0], 128, 16);
+            for (int y = 0; y < 8; y++) {
+                memset(vf->data[1] + y * vf->linesize[1], 128, 8);
+                memset(vf->data[2] + y * vf->linesize[2], 128, 8);
+            }
+        }
+        // Emit 1 fps video frames interleaved with the audio timeline (a
+        // burst of all-video-first overflows the muxer's interleave window
+        // and produces files whose clusters pair late video with early
+        // audio, breaking time-based seeks).
+        auto emit_video_until = [&](double t_secs) -> int {
+            if (!vf) return 0;
+            while (v_next <= (int)t_secs) {
+                vf->pts = v_next++;
+                int r = avcodec_send_frame(venc, vf);
+                while (r >= 0 && (r = avcodec_receive_packet(venc, pkt)) >= 0) {
+                    av_packet_rescale_ts(pkt, venc->time_base, vst->time_base);
+                    pkt->stream_index = vst->index;
+                    r = av_interleaved_write_frame(oc, pkt);
+                    av_packet_unref(pkt);
+                }
+                if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF)
+                    return r;
+            }
+            return 0;
+        };
+        while (pos < n_in_frames) {
+            if ((ret = emit_video_until((double)pos / rate)) < 0) {
+                fail = "video encode failed: " + av_err_str(ret);
+                break;
+            }
+            int n = (int)std::min<int64_t>(frame_size, n_in_frames - pos);
+            av_frame_unref(frame);
+            frame->nb_samples = n;
+            frame->format = enc->sample_fmt;
+            frame->sample_rate = rate;
+            av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
+            if ((ret = av_frame_get_buffer(frame, 0)) < 0) {
+                fail = "frame alloc failed: " + av_err_str(ret);
+                break;
+            }
+            const uint8_t *in_planes[1] = {
+                (const uint8_t *)(pcm + pos * channels)};
+            ret = swr_convert(swr, frame->data, n, in_planes, n);
+            if (ret < 0) {
+                fail = "fixture swr_convert failed: " + av_err_str(ret);
+                break;
+            }
+            frame->nb_samples = ret;
+            frame->pts = pts;
+            pts += ret;
+            pos += n;
+            if ((ret = drain(false)) < 0) {
+                fail = "encode failed: " + av_err_str(ret);
+                break;
+            }
+        }
+        if (fail.empty()) {
+            if ((ret = emit_video_until((double)n_in_frames / rate)) < 0)
+                fail = "video encode failed: " + av_err_str(ret);
+            else if ((ret = drain(true)) < 0)
+                fail = "encoder flush failed: " + av_err_str(ret);
+            else if ((ret = av_write_trailer(oc)) < 0)
+                fail = "write_trailer failed: " + av_err_str(ret);
+        }
+        if (vf) av_frame_free(&vf);
+    } while (false);
+
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    swr_free(&swr);
+    avcodec_free_context(&enc);
+    if (venc) avcodec_free_context(&venc);
+    if (io_open) avio_closep(&oc->pb);
+    avformat_free_context(oc);
+    if (!fail.empty()) {
+        set_err(err, errcap, fail);
+        return -1;
+    }
     return 0;
 }
 

@@ -206,7 +206,7 @@ class Analyzer:
         from .tracing import span
 
         with span("ingest.read_raw"):
-            samples, rate, channels, duration_secs = ingest.read_pcm_raw(path)
+            samples, rate, channels, duration_secs = ingest.read_pcm_mmap(path)
         stream_duration = Duration.from_secs_f64(duration_secs)
         opening_duration = stream_duration.mul_f32(
             np.float32(self.opening_search_percentage)
@@ -221,27 +221,31 @@ class Analyzer:
             n_skip = int((seek_to.as_millis() / 1000.0) * rate) * channels
             ending_raw = samples[n_skip:]
 
-        # Band-limited host decimation: chroma only uses <= ~3520 Hz, so
-        # decimating to >= 8 kHz before upload halves-to-quarters the bytes
-        # on the host->device pipe with no information loss for the hashes.
-        # Only worth the host CPU when the transport is the bottleneck.
-        from .fingerprint.decimate import decimation_factor, host_decimate
-
-        # Deterministic: always decimate supported rates (A/B at 75 MB/s
-        # measured decimate-ON 4 s faster than OFF — it also halves batch
-        # assembly and device framing work; only PCIe-class links come out
-        # ahead skipping it, and keying the choice on a measured-bandwidth
-        # threshold made the same file hash differently between sessions).
-        # NEEDLE_TPU_DECIMATE=0 opts out explicitly.
+        # Optional band-limited host decimation before upload (chroma uses
+        # nothing above ~3520 Hz, so >= 8 kHz representations are lossless
+        # for the hashes). Default OFF: this host has ONE core, and the
+        # measured FIR cost (r2 bench: 364 CPU-seconds for 28 episodes)
+        # dwarfs the transfer it saves at any observed bandwidth — and a
+        # bandwidth-keyed toggle made the same file hash differently between
+        # sessions. NEEDLE_TPU_DECIMATE=1 opts in for genuinely starved
+        # pipes (hashes then come from the 8 kHz representation; search
+        # results agree, exact hash bytes differ from the default path).
         import os
 
-        decimate_on = os.environ.get("NEEDLE_TPU_DECIMATE", "1") not in ("0", "")
-        if decimation_factor(rate) > 1 and decimate_on:
-            with span("ingest.decimate"):
-                opening_raw, new_rate = host_decimate(opening_raw, rate, channels)
-                if ending_raw is not None:
-                    ending_raw, _ = host_decimate(ending_raw, rate, channels)
-                rate = new_rate
+        decimate_on = os.environ.get("NEEDLE_TPU_DECIMATE", "0") not in ("0", "")
+        if decimate_on:
+            from .fingerprint.decimate import decimation_factor, host_decimate
+
+            if decimation_factor(rate) > 1:
+                with span("ingest.decimate"):
+                    opening_raw, new_rate = host_decimate(
+                        np.asarray(opening_raw), rate, channels
+                    )
+                    if ending_raw is not None:
+                        ending_raw, _ = host_decimate(
+                            np.asarray(ending_raw), rate, channels
+                        )
+                    rate = new_rate
         return opening_raw, ending_raw, rate, channels, seek_to
 
     # -- hash assembly (analyzer.rs:286-318) -----------------------------------

@@ -366,24 +366,29 @@ def resampled_length(n_in: int, in_rate: int, channels: int = 1) -> int:
 
 
 class IngestDispatcher:
-    """Incremental device-ingest dispatcher: segments stream in (e.g. as a
-    host thread pool finishes file reads), full lane chunks dispatch
-    IMMEDIATELY (async), and finish() flushes partial chunks and collects
-    every output with coalesced downloads. On slow transports the
-    host->device transfer is the wall, so file reads and device hashing
-    ride under it instead of serializing behind it."""
+    """Incremental device-ingest dispatcher. Each segment uploads the moment
+    it arrives (one device_put per segment, GIL-released during the copy, so
+    a host thread pool's file reads ride under the transfers), lane chunks
+    are assembled ON DEVICE (jnp.stack of the uploaded rows) and dispatched
+    as soon as LANES segments of a bucket are in, and finish() flushes
+    partial chunks and collects every output with coalesced downloads. On
+    slow transports the host->device transfer is the wall; this shape keeps
+    the pipe busy from the first decoded episode to the last."""
 
     def __init__(self, in_rate: int, channels: int = 1):
         self.in_rate = in_rate
         self.channels = channels
         self._rs_mat = _rs_device_matrix(in_rate)
         self._tables = _device_tables()
-        self._pending: dict = {}  # nf_bucket -> (refs, segments)
+        self._pending: dict = {}  # nf_bucket -> (refs, device rows)
         self._launched: list = []  # (refs, device_out)
         self._out_lens: dict = {}  # ref -> n_sub
         self._empty: dict = {}  # ref -> empty result
+        self._zero_rows: dict = {}  # in_len -> device zero row (lane padding)
 
     def add(self, ref, segment: np.ndarray) -> None:
+        from ..tracing import span
+
         segment = np.asarray(segment, dtype=np.int16)
         n_res = resampled_length(len(segment), self.in_rate, self.channels)
         n_sub = num_subfingerprints(n_res)
@@ -392,25 +397,36 @@ class IngestDispatcher:
             return
         self._out_lens[ref] = n_sub
         nf_b = _bucket_frames(num_frames(n_res))
-        refs, segs = self._pending.setdefault(nf_b, ([], []))
+        _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
+        in_len *= self.channels
+        with span("ingest.upload"):
+            row = np.zeros(in_len, np.int16)
+            n = min(len(segment), in_len)
+            row[:n] = segment[:n]
+            dev_row = jax.device_put(row)
+        refs, rows = self._pending.setdefault(nf_b, ([], []))
         refs.append(ref)
-        segs.append(segment)
+        rows.append(dev_row)
         if len(refs) >= LANES:
             self._dispatch(nf_b)
+
+    def _zero_row(self, in_len: int):
+        if in_len not in self._zero_rows:
+            self._zero_rows[in_len] = jax.device_put(
+                np.zeros(in_len, np.int16)
+            )
+        return self._zero_rows[in_len]
 
     def _dispatch(self, nf_b: int) -> None:
         from ..tracing import span
 
-        refs, segs = self._pending.pop(nf_b)
+        refs, rows = self._pending.pop(nf_b)
         _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
         in_len *= self.channels
-        with span("ingest.batch_assemble"):
-            batch = np.zeros((LANES, in_len), np.int16)
-            for r, s in enumerate(segs):
-                batch[r, : min(len(s), in_len)] = s[:in_len]
-        with span("ingest.upload"):
-            device_batch = jax.device_put(batch)
         with span("ingest.dispatch"):
+            if len(rows) < LANES:
+                rows = rows + [self._zero_row(in_len)] * (LANES - len(rows))
+            device_batch = jnp.stack(rows)
             out = _ingest_fingerprint_batched(
                 device_batch, self._rs_mat, *self._tables,
                 self.in_rate, self.channels, nf_b,

@@ -39,6 +39,11 @@ _build_failed = False
 
 def _build_native() -> Optional[Path]:
     global _build_failed
+    # installed-package layout (wheel/nix): the prebuilt .so ships inside
+    # needle_tpu/_native/; source checkouts build under native/.
+    packaged = Path(__file__).resolve().parent.parent / "_native" / _LIB_NAME
+    if packaged.exists():
+        return packaged
     so = _NATIVE_DIR / _LIB_NAME
     if so.exists():
         return so
@@ -116,6 +121,18 @@ def _load_native_locked() -> ctypes.CDLL:
         c.c_int,
     ]
     lib.ni_resample_pcm.restype = c.c_int
+    lib.ni_write_media.argtypes = [
+        c.c_char_p,
+        c.c_char_p,
+        c.c_void_p,
+        c.c_int64,
+        c.c_int,
+        c.c_int,
+        c.c_int,
+        c.c_char_p,
+        c.c_int,
+    ]
+    lib.ni_write_media.restype = c.c_int
     _lib = lib
     return _lib
 
@@ -245,6 +262,35 @@ def resample_pcm_to_stereo(
     return out
 
 
+def write_media(
+    path, pcm: np.ndarray, rate: int, channels: int = 1,
+    codec: str = "pcm_s16le", with_video: bool = True,
+) -> None:
+    """Encode interleaved i16 PCM into a real media container (format from
+    the path extension: .mkv, .mp4, .mp2, ...), by default with a tiny
+    mjpeg video track so the file passes the reference's video-stream
+    validity check. Test-fixture helper — this environment has no ffmpeg
+    CLI, so container/codec robustness tests synthesize their own media
+    through the native layer."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    n_frames = pcm.size // channels
+    lib = load_native()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.ni_write_media(
+        os.fsencode(str(path)),
+        codec.encode(),
+        pcm.ctypes.data_as(ctypes.c_void_p),
+        n_frames,
+        int(rate),
+        int(channels),
+        1 if with_video else 0,
+        err,
+        len(err),
+    )
+    if rc != 0:
+        raise IngestError(err.value.decode(errors="replace"))
+
+
 # ---------------------------------------------------------------------------
 # Pre-decoded PCM file ingestion (WAV / raw), for pipelines that feed audio
 # directly (e.g. benchmark configs supplying 16 kHz mono PCM).
@@ -329,6 +375,60 @@ def read_pcm_raw(
         samples = np.clip(
             np.rint(samples.astype(np.float64) * 32768.0), -32768, 32767
         ).astype(np.int16)
+    duration = (samples.size // channels) / rate
+    return samples, rate, channels, duration
+
+
+def read_pcm_mmap(
+    path, raw_rate: int = 16000, raw_channels: int = 1
+) -> Tuple[np.ndarray, int, int, float]:
+    """Like read_pcm_raw but zero-copy: i16 WAV/raw payloads are returned as
+    a read-only np.memmap view, so slicing the opening/ending windows costs
+    nothing and bytes are only faulted in when the upload path copies them.
+    Non-i16 payloads fall back to read_pcm_raw (full read + convert)."""
+    import struct as _struct
+
+    p = str(path).lower()
+    if p.endswith(".wav"):
+        file_size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            head = f.read(65536)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise IngestError(f"not a WAV file: {path}")
+        pos, fmt, data_off, data_size = 12, None, None, None
+        while pos + 8 <= file_size:
+            hdr = head[pos : pos + 8]
+            if len(hdr) < 8:
+                with open(path, "rb") as f:
+                    f.seek(pos)
+                    hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+            cid = hdr[:4]
+            (size,) = _struct.unpack("<I", hdr[4:8])
+            if cid == b"fmt ":
+                body = head[pos + 8 : pos + 24]
+                if len(body) < 16:
+                    with open(path, "rb") as f:
+                        f.seek(pos + 8)
+                        body = f.read(16)
+                fmt = _struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_off, data_size = pos + 8, min(size, file_size - pos - 8)
+            pos += 8 + size + (size & 1)
+        if fmt is None or data_off is None:
+            raise IngestError(f"malformed WAV file: {path}")
+        audio_fmt, channels, rate, _, _, bits = fmt
+        if not (audio_fmt == 1 and bits == 16):
+            samples, rate, channels, dur = read_pcm_raw(path)
+            return samples, rate, channels, dur
+        n = data_size // 2
+        samples = np.memmap(path, dtype="<i2", mode="r", offset=data_off,
+                            shape=(n,))
+    else:
+        n = os.path.getsize(path) // 2
+        samples = np.memmap(path, dtype="<i2", mode="r", shape=(n,))
+        rate, channels = raw_rate, raw_channels
     duration = (samples.size // channels) / rate
     return samples, rate, channels, duration
 

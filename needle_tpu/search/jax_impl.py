@@ -502,6 +502,9 @@ class JaxSearchEngine:
         else:
             counts_all = np.asarray(launched[0][1])
         row0 = 0
+        rescan_s, rescan_diags = 0.0, 0
+        import time as _time
+
         for batch, out in launched:
             # out.shape[0] can exceed `chunk` when shard_batch padded the
             # lane axis to the mesh device count; advance by the REAL row
@@ -514,12 +517,23 @@ class JaxSearchEngine:
                     continue
                 sa, sb = sides[a], sides[b]
                 lst = pair_cands.setdefault(p_idx, [])
+                t0 = _time.perf_counter()
                 for pos in hit:
                     lst.extend(
                         _diag_candidates(
                             sa.hashes, sb.hashes, int(pos) + d_base, threshold
                         )
                     )
+                rescan_s += _time.perf_counter() - t0
+                rescan_diags += len(hit)
+        from ..tracing import metrics as _metrics
+
+        # recorded separately so the host-rescan share of collect is
+        # measurable at library scale ("rescan_diags" abuses the seconds
+        # column as a flagged-diagonal counter)
+        _metrics.record("search.rescan", rescan_s)
+        if rescan_diags:
+            _metrics.record("search.rescan_diags", float(rescan_diags))
         collect_span.__exit__(None, None, None)
 
         for p_idx, a, b in work:
