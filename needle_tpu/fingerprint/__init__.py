@@ -8,7 +8,7 @@ The reference fingerprints audio via the chromaprint C++ library
     chroma mapping, trained classifier filters + quantizer thresholds).
   * :mod:`needle_tpu.fingerprint.numpy_impl` — NumPy reference implementation
     (validation oracle for the TPU path, and CPU fallback).
-  * :mod:`needle_tpu.fingerprint.jax_impl` — batched JAX/XLA/Pallas pipeline
+  * :mod:`needle_tpu.fingerprint.jax_impl` — batched JAX/XLA pipeline
     (framing -> Hamming window -> DFT-as-matmul on the MXU -> chroma fold ->
     chroma filter -> normalize -> classifier matmul -> gray-code bit packing).
   * :mod:`needle_tpu.fingerprint.oracle` — ctypes binding to a system

@@ -126,24 +126,14 @@ def _device_tables():
 def _fingerprint_core_batched(
     batch_i16, wc, ws, fold, W_cls, thresholds, n_frames, with_flags=False
 ):
-    if _SPECTRAL == "pallas" and jax.default_backend() == "cpu":
-        # Experimental: validated in interpreter mode. On real TPUs the
-        # current Mosaic toolchain cannot lower the hop-1365 (non-lane-
-        # aligned) frame reshape, so hardware runs use the XLA matmul
-        # formulation below (which the compiler already maps to the MXU
-        # with fused framing). The kernel takes the lane axis in its own
-        # grid (ANY-space inputs cannot be vmap-batched).
-        from .pallas_impl import spectral_energy_pallas_batched
-
-        energy_b = spectral_energy_pallas_batched(
-            batch_i16.astype(jnp.float32), wc, ws, n_frames, interpret=True
-        )
-        return jax.vmap(
-            lambda e: _post_chroma(
-                jnp.dot(e, fold, precision=_PREC), W_cls, thresholds, n_frames,
-                with_flags=with_flags,
-            )
-        )(energy_b)
+    # A fused Pallas framing+DFT kernel existed through r2 (VMEM-staged
+    # frame assembly) but was retired: Mosaic cannot lower the hop-1365
+    # non-lane-aligned reshape on current toolchains (remote-compile exit 1,
+    # 2026-08-16), and the measurement that motivated it no longer holds —
+    # the XLA matmul formulation runs the FULL fingerprint pipeline in
+    # 71 ms per 8-lane x 4864-frame chunk on v5e (spectral stage 67 ms,
+    # jnp.fft.rfft variant 68 ms), ~3% of analyze wall next to the
+    # host->device transfer. Git history has the kernel.
     return jax.vmap(
         lambda x: _fingerprint_core_inline(
             x.astype(jnp.float32), wc, ws, fold, W_cls, thresholds, n_frames,
@@ -170,9 +160,6 @@ def _window_np() -> np.ndarray:
 def _fingerprint_core_inline(
     mono_f32, wc, ws, fold, W_cls, thresholds, n_frames, with_flags=False
 ):
-    # NOTE: runs under vmap; the pallas spectral variant is handled at the
-    # batched level (_fingerprint_core_batched) — the ingest pipeline uses
-    # the matmul formulation regardless of NEEDLE_TPU_SPECTRAL.
     frames = _frames_from_padded(mono_f32, n_frames)
     if _SPECTRAL == "fft":
         min_idx, max_idx, _ = chroma_bin_ranges()
@@ -366,29 +353,33 @@ def resampled_length(n_in: int, in_rate: int, channels: int = 1) -> int:
 
 
 class IngestDispatcher:
-    """Incremental device-ingest dispatcher. Each segment uploads the moment
-    it arrives (one device_put per segment, GIL-released during the copy, so
-    a host thread pool's file reads ride under the transfers), lane chunks
-    are assembled ON DEVICE (jnp.stack of the uploaded rows) and dispatched
-    as soon as LANES segments of a bucket are in, and finish() flushes
-    partial chunks and collects every output with coalesced downloads. On
-    slow transports the host->device transfer is the wall; this shape keeps
-    the pipe busy from the first decoded episode to the last."""
+    """Device-ingest dispatcher. add() only records segments (memmap views
+    are fine — no bytes move yet); finish() assembles ONE contiguous host
+    buffer per frame bucket, uploads it in a single device_put, dispatches
+    one fused resample+fingerprint program over the whole (bucketed) lane
+    axis, and collects every output with coalesced downloads.
+
+    Transfer granularity is the key constraint, measured three ways on the
+    axon tunnel (r2): per-segment uploads (20-30 MB) spent more time in
+    fixed per-transfer cost than moving bytes (56 x ~1.6 s for ~20 s of
+    bytes); one giant per-bucket transfer (650 MB) collapsed to ~17 MB/s
+    (plus a fresh XLA compile per lane-count); LANES-wide chunks
+    (~80-160 MB) ran at probe bandwidth with bounded fixed cost and a
+    single compiled program per bucket. So: one device_put per LANES-wide
+    chunk, dispatched the moment the chunk fills (reads ride under
+    transfers), partial chunks flushed at finish()."""
 
     def __init__(self, in_rate: int, channels: int = 1):
         self.in_rate = in_rate
         self.channels = channels
         self._rs_mat = _rs_device_matrix(in_rate)
         self._tables = _device_tables()
-        self._pending: dict = {}  # nf_bucket -> (refs, device rows)
+        self._pending: dict = {}  # nf_bucket -> (refs, segments)
         self._launched: list = []  # (refs, device_out)
         self._out_lens: dict = {}  # ref -> n_sub
         self._empty: dict = {}  # ref -> empty result
-        self._zero_rows: dict = {}  # in_len -> device zero row (lane padding)
 
     def add(self, ref, segment: np.ndarray) -> None:
-        from ..tracing import span
-
         segment = np.asarray(segment, dtype=np.int16)
         n_res = resampled_length(len(segment), self.in_rate, self.channels)
         n_sub = num_subfingerprints(n_res)
@@ -397,36 +388,25 @@ class IngestDispatcher:
             return
         self._out_lens[ref] = n_sub
         nf_b = _bucket_frames(num_frames(n_res))
-        _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
-        in_len *= self.channels
-        with span("ingest.upload"):
-            row = np.zeros(in_len, np.int16)
-            n = min(len(segment), in_len)
-            row[:n] = segment[:n]
-            dev_row = jax.device_put(row)
-        refs, rows = self._pending.setdefault(nf_b, ([], []))
+        refs, segs = self._pending.setdefault(nf_b, ([], []))
         refs.append(ref)
-        rows.append(dev_row)
+        segs.append(segment)
         if len(refs) >= LANES:
             self._dispatch(nf_b)
-
-    def _zero_row(self, in_len: int):
-        if in_len not in self._zero_rows:
-            self._zero_rows[in_len] = jax.device_put(
-                np.zeros(in_len, np.int16)
-            )
-        return self._zero_rows[in_len]
 
     def _dispatch(self, nf_b: int) -> None:
         from ..tracing import span
 
-        refs, rows = self._pending.pop(nf_b)
+        refs, segs = self._pending.pop(nf_b)
         _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
         in_len *= self.channels
+        with span("ingest.batch_assemble"):
+            batch = np.zeros((LANES, in_len), np.int16)
+            for r, s in enumerate(segs):
+                batch[r, : min(len(s), in_len)] = s[:in_len]
+        with span("ingest.upload"):
+            device_batch = jax.device_put(batch)
         with span("ingest.dispatch"):
-            if len(rows) < LANES:
-                rows = rows + [self._zero_row(in_len)] * (LANES - len(rows))
-            device_batch = jnp.stack(rows)
             out = _ingest_fingerprint_batched(
                 device_batch, self._rs_mat, *self._tables,
                 self.in_rate, self.channels, nf_b,

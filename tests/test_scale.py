@@ -123,3 +123,44 @@ def test_mesh_with_padded_chunks_matches_oracle(rng):
     got = run("jax", mesh=True, mem_budget=2 * 256 * 512 * 12 * 4)
     assert got == expected
     assert any(op is not None for op, _ in expected)
+
+
+def test_make_mesh_cpu_fallback_requires_opt_in(monkeypatch, caplog):
+    """make_mesh must not silently shard onto CPU devices when the default
+    platform has too few devices: explicit opt-in (arg or env) is required,
+    and the fallback logs a warning (VERDICT r1 weak #5)."""
+    import logging
+
+    import jax
+
+    from needle_tpu import parallel
+
+    n = len(jax.devices())
+    # plenty of devices: no fallback involved either way
+    assert parallel.make_mesh(n) is not None
+
+    class _FakeDev:
+        platform = "tpu"
+
+    real_devices = jax.devices
+
+    def fake_devices(plat=None):
+        if plat is None:
+            return [_FakeDev()]  # 1-chip default platform
+        return real_devices(plat)
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    monkeypatch.delenv("NEEDLE_TPU_CPU_MESH_FALLBACK", raising=False)
+    with pytest.raises(RuntimeError):
+        parallel.make_mesh(8)
+
+    # explicit opt-in allows the fallback and logs it
+    with caplog.at_level(logging.WARNING, logger="needle_tpu"):
+        mesh = parallel.make_mesh(8, allow_cpu_fallback=True)
+    assert int(np.prod(mesh.devices.shape)) == 8
+    assert any("falling back" in r.message for r in caplog.records)
+
+    # env-driven opt-in
+    monkeypatch.setenv("NEEDLE_TPU_CPU_MESH_FALLBACK", "1")
+    mesh = parallel.make_mesh(8)
+    assert int(np.prod(mesh.devices.shape)) == 8
