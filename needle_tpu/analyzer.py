@@ -34,7 +34,16 @@ from .fingerprint.constants import DELAY_SAMPLES, ITEM_DURATION_SAMPLES, SAMPLE_
 from .util import compute_header_md5sum
 
 # chromaprint-rust converts sample counts to Durations; full-precision f64
-# seconds (the physically-correct conversion).
+# seconds (the physically-correct conversion). Unverifiable caveat (ADVICE
+# r1): chromaprint-rust 0.1.3's source is not available in this offline
+# environment, so whether its get_delay()/get_item_duration() use the C
+# API's sample-count or millisecond accessors cannot be confirmed. The
+# sample counts themselves (28666 delay / 1365 item) ARE verified against
+# libchromaprint 1.5.1. If the crate were ms-quantized, timestamps would
+# drift ~0.8 ms per hash (~2 s of real-time error by hash 2500), so the
+# full-precision reading is used here as the physically-correct one. A
+# golden .needle.dat from the Rust binary would settle it (no cargo
+# toolchain exists in this environment to produce one).
 CHROMAPRINT_DELAY = Duration.from_secs_f64(DELAY_SAMPLES / SAMPLE_RATE)
 CHROMAPRINT_ITEM_DURATION = Duration.from_secs_f64(ITEM_DURATION_SAMPLES / SAMPLE_RATE)
 

@@ -159,8 +159,8 @@ def batch_counts_pallas(
         num_scalar_prefetch=4,
         grid=(chunk, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, n_tiles_pad, D_TILE), lambda p, t, *_: (p, 0, 0),
