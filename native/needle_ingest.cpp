@@ -22,6 +22,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <algorithm>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -444,6 +445,80 @@ int ni_resample_pcm(const void *in, int64_t n_in_frames, int in_rate, int in_cha
     swr_free(&swr);
     *out_samples = buf;
     *out_n_samples = ((int64_t)n1 + n2) * 2;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Fixed-point FIR decimator: i16 interleaved -> i16 interleaved at
+// rate/factor, with Q14 integer taps and int32 accumulation. Exists so
+// band-limited pre-upload decimation is CHEAP on the 1-core host (the
+// scipy float FIR cost ~0.6 s per 15 min of audio; this runs ~20x faster
+// via auto-vectorized integer MACs) and DETERMINISTIC (integer arithmetic
+// is identical on every build/platform/thread schedule, so the same file
+// always produces the same hashes — float FIRs vary in the last ulp with
+// vectorization width). Taps come from the caller (one source of truth in
+// fingerprint/decimate.py); output sample k is centered at input k*factor
+// (linear-phase group delay pre-trimmed by the caller's tap layout), with
+// zeros assumed outside the input, matching scipy.signal.upfirdn padding.
+// ---------------------------------------------------------------------------
+int ni_decimate_i16(const int16_t *in, int64_t n_samples, int channels,
+                    int factor, const int32_t *taps, int n_taps,
+                    int16_t **out_samples, int64_t *out_n,
+                    char *err, int errcap) {
+    if (channels < 1 || factor < 1 || n_taps < 1 || (n_taps & 1) == 0) {
+        set_err(err, errcap, "bad decimator params");
+        return -1;
+    }
+    const int64_t frames = n_samples / channels;
+    const int64_t out_frames = frames / factor;
+    const int H = (n_taps - 1) / 2;
+    int16_t *out = (int16_t *)malloc(
+        (size_t)std::max<int64_t>(out_frames * channels, 1) * sizeof(int16_t));
+    if (!out) {
+        set_err(err, errcap, "out of memory");
+        return -1;
+    }
+    // interior region: all taps in bounds, no per-sample branch
+    const int64_t k_lo = std::min<int64_t>((H + factor - 1) / factor, out_frames);
+    const int64_t k_hi = std::max<int64_t>(
+        k_lo, std::min<int64_t>(out_frames, (frames - 1 - H) / factor + 1));
+    for (int c = 0; c < channels; c++) {
+        for (int64_t k = 0; k < k_lo; k++) {
+            const int64_t center = k * factor;
+            int32_t acc = 0;
+            for (int j = 0; j < n_taps; j++) {
+                const int64_t idx = center - H + j;
+                if (idx >= 0 && idx < frames)
+                    acc += taps[j] * (int32_t)in[idx * channels + c];
+            }
+            int32_t v = (acc + 8192) >> 14;
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+        for (int64_t k = k_lo; k < k_hi; k++) {
+            const int16_t *base = in + (k * factor - H) * channels + c;
+            int32_t acc = 0;
+            for (int j = 0; j < n_taps; j++)
+                acc += taps[j] * (int32_t)base[(int64_t)j * channels];
+            int32_t v = (acc + 8192) >> 14;
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+        for (int64_t k = k_hi; k < out_frames; k++) {
+            const int64_t center = k * factor;
+            int32_t acc = 0;
+            for (int j = 0; j < n_taps; j++) {
+                const int64_t idx = center - H + j;
+                if (idx >= 0 && idx < frames)
+                    acc += taps[j] * (int32_t)in[idx * channels + c];
+            }
+            int32_t v = (acc + 8192) >> 14;
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+    }
+    *out_samples = out;
+    *out_n = out_frames * channels;
     return 0;
 }
 

