@@ -522,6 +522,63 @@ int ni_decimate_i16(const int16_t *in, int64_t n_samples, int channels,
     return 0;
 }
 
+// Specialized factor-2 half-band decimator: a half-band FIR has every even
+// tap zero except the center, and the odd taps are symmetric, so
+//   y[k] = c0*x[2k] + sum_m odd[m] * (x[2k-(2m+1)] + x[2k+(2m+1)])
+// needs n_odd+1 multiplies instead of 4*n_odd+1 — the generic kernel can't
+// exploit either structure. Factor-4 decimation cascades two of these.
+int ni_decimate2_hb(const int16_t *in, int64_t n_samples, int channels,
+                    const int32_t *odd_taps, int n_odd, int32_t center_q14,
+                    int16_t **out_samples, int64_t *out_n,
+                    char *err, int errcap) {
+    if (channels < 1 || n_odd < 1) {
+        set_err(err, errcap, "bad halfband params");
+        return -1;
+    }
+    const int64_t frames = n_samples / channels;
+    const int64_t out_frames = frames / 2;
+    const int H = 2 * n_odd - 1;  // largest reach from the center
+    int16_t *out = (int16_t *)malloc(
+        (size_t)std::max<int64_t>(out_frames * channels, 1) * sizeof(int16_t));
+    if (!out) {
+        set_err(err, errcap, "out of memory");
+        return -1;
+    }
+    const int64_t k_lo = std::min<int64_t>((H + 1) / 2, out_frames);
+    const int64_t k_hi = std::max<int64_t>(
+        k_lo, std::min<int64_t>(out_frames, (frames - 1 - H) / 2 + 1));
+    auto edge = [&](int64_t k, int c) {
+        const int64_t center = 2 * k;
+        int64_t acc = (int64_t)center_q14 * in[center * channels + c];
+        for (int m = 0; m < n_odd; m++) {
+            const int64_t d = 2 * m + 1;
+            int32_t a = (center - d >= 0) ? in[(center - d) * channels + c] : 0;
+            int32_t b = (center + d < frames) ? in[(center + d) * channels + c] : 0;
+            acc += (int64_t)odd_taps[m] * (a + b);
+        }
+        int32_t v = (int32_t)((acc + 8192) >> 14);
+        out[k * channels + c] = (int16_t)std::min(32767, std::max(-32768, v));
+    };
+    for (int c = 0; c < channels; c++) {
+        for (int64_t k = 0; k < k_lo; k++) edge(k, c);
+        for (int64_t k = k_lo; k < k_hi; k++) {
+            const int16_t *ctr = in + 2 * k * channels + c;
+            int32_t acc = center_q14 * (int32_t)ctr[0];
+            for (int m = 0; m < n_odd; m++) {
+                const int64_t d = (int64_t)(2 * m + 1) * channels;
+                acc += odd_taps[m] * ((int32_t)ctr[-d] + (int32_t)ctr[d]);
+            }
+            int32_t v = (acc + 8192) >> 14;
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+        for (int64_t k = k_hi; k < out_frames; k++) edge(k, c);
+    }
+    *out_samples = out;
+    *out_n = out_frames * channels;
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Test-fixture muxer: encode interleaved i16 PCM into a real container
 // (format inferred from the path extension, codec by name: "pcm_s16le",

@@ -230,25 +230,19 @@ class Analyzer:
             n_skip = int((seek_to.as_millis() / 1000.0) * rate) * channels
             ending_raw = samples[n_skip:]
 
-        # Band-limited host decimation before upload: chroma uses nothing
-        # above ~3520 Hz, so >= 8 kHz representations carry every bit the
-        # hashes use, and halving/quartering the uploaded bytes is the one
-        # era-independent lever on the transfer-bound analyze wall. Default:
-        # ON when the native fixed-point decimator is available (~20x
-        # faster than the scipy float FIR that made decimation a net loss
-        # in r2 profiles, and DETERMINISTIC — integer arithmetic gives the
-        # same hashes on every run/platform); OFF otherwise (a slow float
-        # FIR on a 1-core host costs more than it saves). NEEDLE_TPU_
-        # DECIMATE=1/0 forces either way.
-        import os
+        # Band-limited decimation to >= 8 kHz (chroma uses nothing above
+        # ~3520 Hz) runs ON DEVICE by default — inside the fused ingest
+        # program, via an integer half-band FIR bit-identical to the native
+        # host kernel (fingerprint.jax_impl._decimate_mode) — so the 1-core
+        # host does nothing here. NEEDLE_TPU_DECIMATE=host (or 1) moves the
+        # SAME integer FIR to the native layer before upload, halving/
+        # quartering the uploaded bytes for starved pipes.
+        from .fingerprint.jax_impl import _decimate_mode
 
-        mode = os.environ.get("NEEDLE_TPU_DECIMATE", "auto")
-        if mode in ("auto", "1"):
-            from . import ingest
+        if _decimate_mode() == "host":
             from .fingerprint.decimate import decimation_factor, host_decimate
 
-            use = mode == "1" or ingest.native_available()
-            if use and decimation_factor(rate) > 1:
+            if decimation_factor(rate) > 1:
                 with span("ingest.decimate"):
                     opening_raw, new_rate = host_decimate(
                         np.asarray(opening_raw), rate, channels

@@ -54,6 +54,49 @@ def _fir(in_rate: int, f: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
+def _halfband_q14(n_odd: int, beta: float) -> Tuple[np.ndarray, int]:
+    """Half-band lowpass for factor-2 decimation: h[d] = 0.5 sinc(d/2) w[d]
+    — every even-offset tap vanishes and the odd taps are symmetric, so the
+    native kernel needs n_odd+1 multiplies per output instead of 4*n_odd+1.
+    Returns (odd-offset taps 1,3,..,2*n_odd-1 as Q14 int32, center tap Q14),
+    DC gain normalized to 1 before quantization.
+
+    Design points: the final stage to ~8-11 kHz uses n_odd=28, beta=9
+    (transition ~0.219-0.281 of the input rate: flat through chroma's
+    3520 Hz top band at 16 kHz in, stopband before the first alias that
+    could fold below it). The relaxed first stage of a factor-4 cascade
+    uses n_odd=3, beta=5.65 (only content above ~18 kHz can alias into the
+    chroma band after the second stage, so the transition can be huge)."""
+    H = 2 * n_odd - 1
+    d = np.arange(1, H + 1, 2, dtype=np.float64)
+    w = np.kaiser(2 * H + 1, beta)[H + 1 :][d.astype(np.int64) - 1]
+    taps = 0.5 * np.sinc(d / 2.0) * w
+    center = 0.5
+    scale = 1.0 / (center + 2.0 * taps.sum())
+    return (
+        np.round(taps * scale * 16384.0).astype(np.int32),
+        int(round(center * scale * 16384.0)),
+    )
+
+
+_HB_MAIN = (28, 9.0)  # final stage (flat to 3520 Hz at 16 kHz input)
+_HB_RELAXED = (3, 5.65)  # first stage of a /4 cascade
+
+
+def halfband_float_taps(n_odd: int, beta: float) -> np.ndarray:
+    """Full symmetric float tap vector of _halfband_q14's design (testing
+    oracle for the native kernel)."""
+    odd_q, center_q = _halfband_q14(n_odd, beta)
+    H = 2 * n_odd - 1
+    h = np.zeros(2 * H + 1, dtype=np.float64)
+    h[H] = center_q / 16384.0
+    for m, q in enumerate(odd_q):
+        dd = 2 * m + 1
+        h[H - dd] = h[H + dd] = q / 16384.0
+    return h
+
+
+@functools.lru_cache(maxsize=8)
 def _fir_q14(in_rate: int, f: int) -> "np.ndarray":
     """The same FIR quantized to Q14 int32 for the native fixed-point
     decimator. The ~1e-4 DC-gain quantization error is a pure global PCM
@@ -82,6 +125,17 @@ def host_decimate(
     from .. import ingest
 
     if ingest.native_available():
+        if f == 2:
+            return (
+                ingest.decimate2_hb(x, channels, *_halfband_q14(*_HB_MAIN)),
+                in_rate // 2,
+            )
+        if f == 4:
+            y = ingest.decimate2_hb(x, channels, *_halfband_q14(*_HB_RELAXED))
+            return (
+                ingest.decimate2_hb(y, channels, *_halfband_q14(*_HB_MAIN)),
+                in_rate // 4,
+            )
         out = ingest.decimate_i16(x, channels, f, _fir_q14(in_rate, f))
         return out, in_rate // f
     return host_decimate_scipy(x, in_rate, channels)

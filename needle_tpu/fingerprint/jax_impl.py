@@ -310,25 +310,102 @@ def _resample_inline(flat_f32, rs_mat, in_rate: int, n_frames: int):
     return out[:out_needed]
 
 
+def _device_decimate2_hb_i32(x_2d, odd_q, c0):
+    """(frames, C) int32 -> (frames//2, C) int32: EXACT replica of the
+    native ni_decimate2_hb semantics (zero-padded edges, Q14 taps,
+    (acc+8192)>>14 arithmetic shift, clip to i16 range) in pure integer
+    ops, so decimation placed on device produces bit-identical samples to
+    decimation placed on host."""
+    n, C = x_2d.shape
+    H = 2 * len(odd_q) - 1
+    out_n = n // 2
+    xp = jnp.concatenate(
+        [
+            jnp.zeros((H, C), jnp.int32),
+            x_2d,
+            jnp.zeros((H + 2, C), jnp.int32),
+        ]
+    )
+    acc = jnp.int32(c0) * xp[H : H + 2 * out_n : 2]
+    for m, q in enumerate(odd_q):
+        d = 2 * m + 1
+        acc = acc + jnp.int32(int(q)) * (
+            xp[H - d : H - d + 2 * out_n : 2]
+            + xp[H + d : H + d + 2 * out_n : 2]
+        )
+    y = (acc + jnp.int32(8192)) >> jnp.int32(14)
+    return jnp.clip(y, -32768, 32767)
+
+
+def _decimate_mode() -> str:
+    """Where the canonical band-limited decimation runs.
+
+    "device" (default): the integer half-band FIR runs inside the fused
+    TPU program — the 1-core host does nothing but memcpy, which makes
+    analyze immune to this environment's CPU-throttling eras, at the cost
+    of uploading source-rate bytes.
+    "host" (NEEDLE_TPU_DECIMATE=host or 1): the SAME integer FIR runs in
+    the native layer before upload — halves/quarters uploaded bytes for
+    genuinely starved pipes. Decimated samples are bit-identical to the
+    device placement; only float-resample fusion differences downstream
+    can flip the rare borderline hash bit.
+    "off" (NEEDLE_TPU_DECIMATE=0): no decimation; resample directly from
+    the source rate (a different—but equally deterministic—hash basis).
+    """
+    v = _os.environ.get("NEEDLE_TPU_DECIMATE", "auto")
+    if v in ("host", "1"):
+        return "host"
+    if v in ("0", "off", ""):
+        return "off"
+    return "device"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("in_rate", "channels", "n_frames")
+    jax.jit, static_argnames=("mid_rate", "channels", "n_frames", "dec_factor")
 )
 def _ingest_fingerprint_batched(
-    batch_raw_i16, rs_mat, wc, ws, fold, W_cls, thresholds,
-    in_rate, channels, n_frames,
+    batch_raw_i16, nv_b, rs_mat, wc, ws, fold, W_cls, thresholds,
+    mid_rate, channels, n_frames, dec_factor=1,
 ):
-    """Fused device pipeline: downmix -> resample -> fingerprint, vmapped
-    over a FIXED number of lanes (one compiled program per (rate, bucket))."""
+    """Fused device pipeline: [decimate ->] downmix -> resample ->
+    fingerprint, vmapped over a FIXED number of lanes (one compiled
+    program per (rate, bucket)). nv_b carries each lane's valid RAW frame
+    count so decimated tails are masked exactly like the host placement's
+    zero padding (the FIR rings past a segment's true end otherwise)."""
 
-    def one(raw):
-        if channels == 2:
+    def one(raw, nv):
+        if dec_factor > 1:
+            from .decimate import _HB_MAIN, _HB_RELAXED, _halfband_q14
+
+            x = raw.reshape(-1, channels).astype(jnp.int32)
+            nv1 = nv
+            if dec_factor == 4:
+                x = _device_decimate2_hb_i32(x, *_halfband_q14(*_HB_RELAXED))
+                nv1 = nv1 // 2
+                x = jnp.where(
+                    jnp.arange(x.shape[0], dtype=jnp.int32)[:, None] < nv1,
+                    x, 0,
+                )
+            x = _device_decimate2_hb_i32(x, *_halfband_q14(*_HB_MAIN))
+            nv1 = nv1 // 2
+            x = jnp.where(
+                jnp.arange(x.shape[0], dtype=jnp.int32)[:, None] < nv1, x, 0
+            )
+            if channels == 2:
+                s = x[:, 0] + x[:, 1]
+                mono = jnp.where(s < 0, -((-s) >> 1), s >> 1).astype(
+                    jnp.float32
+                )
+            else:
+                mono = x[:, 0].astype(jnp.float32)
+        elif channels == 2:
             # exact chromaprint downmix semantics: (l + r) / 2 with C
             # truncation toward zero (matches the host oracle bit-for-bit)
             mono = downmix_stereo_i16_jnp(raw)
         else:
             mono = raw.astype(jnp.float32)
-        if in_rate != SAMPLE_RATE:
-            mono = _resample_inline(mono, rs_mat, in_rate, n_frames)
+        if mid_rate != SAMPLE_RATE:
+            mono = _resample_inline(mono, rs_mat, mid_rate, n_frames)
         pad_len = (n_frames + _ROWS_PER_FRAME + 1) * HOP_SIZE
         mono = jnp.concatenate(
             [mono, jnp.zeros((max(0, pad_len - mono.shape[0]),), jnp.float32)]
@@ -337,7 +414,7 @@ def _ingest_fingerprint_batched(
             mono, wc, ws, fold, W_cls, thresholds, n_frames
         )
 
-    return jax.vmap(one)(batch_raw_i16)
+    return jax.vmap(one)(batch_raw_i16, nv_b)
 
 
 # Fixed lane count per dispatch: a single compiled program serves any
@@ -372,7 +449,16 @@ class IngestDispatcher:
     def __init__(self, in_rate: int, channels: int = 1):
         self.in_rate = in_rate
         self.channels = channels
-        self._rs_mat = _rs_device_matrix(in_rate)
+        # The canonical band-limited decimation to >= 8 kHz runs on DEVICE
+        # (mode "device"); input that was already host-decimated arrives
+        # here at mid_rate with factor 1. Only factors 2 and 4 have the
+        # half-band device kernels; other factors resample directly.
+        from .decimate import decimation_factor
+
+        f = decimation_factor(in_rate) if _decimate_mode() == "device" else 1
+        self.dec_factor = f if f in (2, 4) else 1
+        self.mid_rate = in_rate // self.dec_factor
+        self._rs_mat = _rs_device_matrix(self.mid_rate)
         self._tables = _device_tables()
         self._pending: dict = {}  # nf_bucket -> (refs, segments)
         self._launched: list = []  # (refs, device_out)
@@ -381,7 +467,9 @@ class IngestDispatcher:
 
     def add(self, ref, segment: np.ndarray) -> None:
         segment = np.asarray(segment, dtype=np.int16)
-        n_res = resampled_length(len(segment), self.in_rate, self.channels)
+        n_dec = (len(segment) // self.channels) // self.dec_factor
+        n_res = resampled_length(n_dec * self.channels, self.mid_rate,
+                                 self.channels)
         n_sub = num_subfingerprints(n_res)
         if n_sub <= 0:
             self._empty[ref] = np.zeros(0, np.uint32)
@@ -398,18 +486,20 @@ class IngestDispatcher:
         from ..tracing import span
 
         refs, segs = self._pending.pop(nf_b)
-        _, in_len, _ = _ingest_dims(self.in_rate, nf_b)
-        in_len *= self.channels
+        _, in_len, _ = _ingest_dims(self.mid_rate, nf_b)
+        in_len *= self.channels * self.dec_factor
         with span("ingest.batch_assemble"):
             batch = np.zeros((LANES, in_len), np.int16)
+            nv = np.zeros((LANES,), np.int32)
             for r, s in enumerate(segs):
                 batch[r, : min(len(s), in_len)] = s[:in_len]
+                nv[r] = min(len(s), in_len) // self.channels
         with span("ingest.upload"):
             device_batch = jax.device_put(batch)
         with span("ingest.dispatch"):
             out = _ingest_fingerprint_batched(
-                device_batch, self._rs_mat, *self._tables,
-                self.in_rate, self.channels, nf_b,
+                device_batch, jnp.asarray(nv), self._rs_mat, *self._tables,
+                self.mid_rate, self.channels, nf_b, self.dec_factor,
             )
         self._launched.append((refs, out))
 

@@ -146,6 +146,19 @@ def _load_native_locked() -> ctypes.CDLL:
         c.c_int,
     ]
     lib.ni_decimate_i16.restype = c.c_int
+    lib.ni_decimate2_hb.argtypes = [
+        c.c_void_p,
+        c.c_int64,
+        c.c_int,
+        c.c_void_p,
+        c.c_int,
+        c.c_int32,
+        c.POINTER(c.POINTER(c.c_int16)),
+        c.POINTER(c.c_int64),
+        c.c_char_p,
+        c.c_int,
+    ]
+    lib.ni_decimate2_hb.restype = c.c_int
     _lib = lib
     return _lib
 
@@ -413,6 +426,39 @@ def decimate_i16(
         int(factor),
         taps.ctypes.data_as(ctypes.c_void_p),
         taps.size,
+        ctypes.byref(buf),
+        ctypes.byref(n),
+        err,
+        len(err),
+    )
+    if rc != 0:
+        raise IngestError(err.value.decode(errors="replace"))
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.ni_free(buf)
+    return out
+
+
+def decimate2_hb(
+    pcm: np.ndarray, channels: int, odd_taps_q14: np.ndarray, center_q14: int
+) -> np.ndarray:
+    """Factor-2 half-band decimation via the native layer (see
+    fingerprint.decimate._halfband_q14 for the design). Deterministic
+    integer arithmetic; ~n_odd+1 multiplies per output sample."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    taps = np.ascontiguousarray(odd_taps_q14, dtype=np.int32)
+    lib = load_native()
+    buf = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.ni_decimate2_hb(
+        pcm.ctypes.data_as(ctypes.c_void_p),
+        pcm.size,
+        int(channels),
+        taps.ctypes.data_as(ctypes.c_void_p),
+        taps.size,
+        int(center_q14),
         ctypes.byref(buf),
         ctypes.byref(n),
         err,

@@ -124,3 +124,107 @@ def test_native_decimator_matches_scipy(rng):
         # determinism
         y2 = ingest.decimate_i16(x, channels, f, _fir_q14(rate, f))
         np.testing.assert_array_equal(y_native, y2)
+
+
+def test_halfband_decimator_matches_float_oracle(rng):
+    """The native half-band kernel equals a float upfirdn with the SAME
+    quantized taps to 1 LSB (rounding only), for mono and stereo."""
+    from scipy.signal import upfirdn
+
+    from needle_tpu import ingest
+    from needle_tpu.fingerprint.decimate import (
+        _HB_MAIN,
+        _HB_RELAXED,
+        _halfband_q14,
+        halfband_float_taps,
+    )
+
+    if not ingest.native_available():
+        pytest.skip("native ingest unavailable")
+
+    for (n_odd, beta) in (_HB_MAIN, _HB_RELAXED):
+        h = halfband_float_taps(n_odd, beta)
+        H = 2 * n_odd - 1
+        for channels in (1, 2):
+            n = 16000 * channels
+            x = (rng.standard_normal(n) * 9000).astype(np.int16)
+            y = ingest.decimate2_hb(
+                x, channels, *_halfband_q14(n_odd, beta)
+            )
+            frames = x.reshape(-1, channels)
+            out_frames = frames.shape[0] // 2
+            for c in range(channels):
+                # native y[k] = sum_d h[H+d] x[2k+d] = conv(x, h)[2k + H]
+                conv = np.convolve(frames[:, c].astype(np.float64), h)
+                ref_k = conv[H : H + 2 * out_frames : 2]
+                got = y.reshape(-1, channels)[:, c].astype(np.float64)
+                assert len(got) == len(ref_k)
+                assert np.max(
+                    np.abs(got - np.clip(np.round(ref_k), -32768, 32767))
+                ) <= 1.0
+
+
+def test_device_decimator_bit_identical_to_native(rng):
+    """The jnp integer half-band decimator equals the native C kernel
+    bit-for-bit (same Q14 taps, same rounding/clipping) — the property
+    that makes decimation PLACEMENT (host vs device) hash-preserving."""
+    import jax.numpy as jnp
+
+    from needle_tpu import ingest
+    from needle_tpu.fingerprint.decimate import (
+        _HB_MAIN,
+        _HB_RELAXED,
+        _halfband_q14,
+    )
+    from needle_tpu.fingerprint.jax_impl import _device_decimate2_hb_i32
+
+    if not ingest.native_available():
+        pytest.skip("native ingest unavailable")
+
+    for (n_odd, beta) in (_HB_MAIN, _HB_RELAXED):
+        odd, c0 = _halfband_q14(n_odd, beta)
+        for channels in (1, 2):
+            n = 40001 * channels  # odd frame count exercises the tail
+            x = (rng.standard_normal(n) * 20000).astype(np.int16)
+            x[:8] = np.array([32767, -32768, 32767, -32768] * 2)[:8]
+            y_native = ingest.decimate2_hb(x, channels, odd, c0)
+            y_dev = np.asarray(
+                _device_decimate2_hb_i32(
+                    jnp.asarray(x.reshape(-1, channels).astype(np.int32)),
+                    odd, c0,
+                )
+            ).astype(np.int16)
+            np.testing.assert_array_equal(
+                y_native.reshape(-1, channels), y_dev
+            )
+
+
+def test_decimation_placement_agrees(tmp_path, rng, monkeypatch):
+    """Hashes with decimation on DEVICE vs on HOST agree (identical
+    decimated samples; only float-resample fusion noise downstream)."""
+    from needle_tpu.fingerprint.jax_impl import fingerprint_ingest_jax_batch
+    from needle_tpu.search.oracle import popcount_u32
+
+    rate = 16000
+    segs = [
+        np.clip(_music_like(rng, rate * 40, rate) * 9000, -32768, 32767
+                ).astype(np.int16)
+        for _ in range(2)
+    ]
+    outs = {}
+    for mode in ("auto", "host"):
+        monkeypatch.setenv("NEEDLE_TPU_DECIMATE", mode)
+        if mode == "host":
+            from needle_tpu.fingerprint.decimate import host_decimate
+
+            dec = [host_decimate(s, rate, 1) for s in segs]
+            outs[mode] = fingerprint_ingest_jax_batch(
+                [d for d, _ in dec], dec[0][1], 1
+            )
+        else:
+            outs[mode] = fingerprint_ingest_jax_batch(segs, rate, 1)
+    for a, b in zip(outs["auto"], outs["host"]):
+        assert a.shape == b.shape
+        d = popcount_u32(a ^ b)
+        assert d.max() <= 2, d.max()
+        assert d.sum() / (32.0 * max(1, len(a))) < 0.005
