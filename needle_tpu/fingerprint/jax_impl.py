@@ -315,24 +315,43 @@ def _device_decimate2_hb_i32(x_2d, odd_q, c0):
     native ni_decimate2_hb semantics (zero-padded edges, Q14 taps,
     (acc+8192)>>14 arithmetic shift, clip to i16 range) in pure integer
     ops, so decimation placed on device produces bit-identical samples to
-    decimation placed on host."""
+    decimation placed on host.
+
+    Every tap offset has fixed parity (H odd, distances odd), so the
+    stride-2 accesses are expressed as UNIT-stride slices of an
+    even/odd-deinterleaved view — stride-2 slices lower to gathers on TPU
+    (measured 3.4 s per 8-lane chunk vs ~ms for the sliced form)."""
     n, C = x_2d.shape
-    H = 2 * len(odd_q) - 1
+    n_odd = len(odd_q)
+    H = 2 * n_odd - 1
     out_n = n // 2
+    # pad so total length is even and every window fits: offsets span
+    # [H - H, H + H] + 2*out_n
+    pad_top = H + 1  # even (keeps every offset's parity fixed)
+    pad_bot = H + 1 + ((pad_top + n + H + 1) % 2)  # make total length even
     xp = jnp.concatenate(
         [
-            jnp.zeros((H, C), jnp.int32),
+            jnp.zeros((pad_top, C), jnp.int32),
             x_2d,
-            jnp.zeros((H + 2, C), jnp.int32),
+            jnp.zeros((pad_bot, C), jnp.int32),
         ]
     )
-    acc = jnp.int32(c0) * xp[H : H + 2 * out_n : 2]
+    # xp index o maps to (o // 2, o % 2) of the deinterleaved view
+    de = xp.reshape(-1, 2, C)
+    even = de[:, 0, :]  # xp[2t]
+    odd = de[:, 1, :]  # xp[2t+1]
+
+    def sl(offset):
+        """x[2k + offset] for k in [0, out_n) as a unit-stride slice."""
+        o = offset + pad_top
+        half, par = o // 2, o % 2
+        src = even if par == 0 else odd
+        return jax.lax.dynamic_slice_in_dim(src, half, out_n, axis=0)
+
+    acc = jnp.int32(c0) * sl(0)
     for m, q in enumerate(odd_q):
         d = 2 * m + 1
-        acc = acc + jnp.int32(int(q)) * (
-            xp[H - d : H - d + 2 * out_n : 2]
-            + xp[H + d : H + d + 2 * out_n : 2]
-        )
+        acc = acc + jnp.int32(int(q)) * (sl(-d) + sl(d))
     y = (acc + jnp.int32(8192)) >> jnp.int32(14)
     return jnp.clip(y, -32768, 32767)
 
