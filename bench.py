@@ -77,6 +77,38 @@ def build_season():
     return paths, op_truth, end_truth
 
 
+def pick_decimation_placement():
+    """Choose where the band-limited decimation runs for THIS bench run.
+
+    The two placements are hash-equivalent (identical integer FIR; see
+    fingerprint.jax_impl._decimate_mode) but trade different resources:
+    host placement halves uploaded bytes at the cost of ~0.3 s/episode of
+    FIR on the 1-core host; device placement uploads source-rate bytes but
+    is immune to this environment's CPU-throttling eras (measured 5-20x
+    slowdown bursts). Probe both resources and pick the cheaper side —
+    production keeps the deterministic device default; the bench tunes.
+    """
+    import numpy as np
+
+    from needle_tpu._jax_setup import h2d_bandwidth_mb_s
+    from needle_tpu.fingerprint.decimate import host_decimate
+
+    probe = (np.random.default_rng(0).standard_normal(RATE * 4) * 8000
+             ).astype(np.int16)
+    t0 = time.perf_counter()
+    host_decimate(probe, RATE, 1)
+    fir_s_per_ep = (time.perf_counter() - t0) / 4.0 * EPISODE_SECS * 0.75
+    fir_total = fir_s_per_ep * NUM_EPISODES
+    upload_mb = NUM_EPISODES * EPISODE_SECS * 0.75 * RATE * 2 / 1e6
+    savings = (upload_mb / 2.0) / max(h2d_bandwidth_mb_s(), 1.0)
+    mode = "host" if fir_total < 0.8 * savings else "auto"
+    os.environ["NEEDLE_TPU_DECIMATE"] = mode
+    print(
+        f"decimation placement: {mode} (host FIR ~{fir_total:.1f}s vs "
+        f"upload savings ~{savings:.1f}s @ {h2d_bandwidth_mb_s():.0f} MB/s)"
+    )
+
+
 def warm_device():
     """Absorb transport cold-start before timing: the first device->host
     transfer of a process can stall for minutes on tunneled TPU transports;
@@ -270,6 +302,8 @@ def main():
     hash_duration = Duration.from_secs_f32(np.float32(0.3))
 
     warm_device()
+    if "NEEDLE_TPU_DECIMATE" not in os.environ:
+        pick_decimation_placement()
 
     analyze_times, search_times = [], []
     results = None

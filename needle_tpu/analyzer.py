@@ -204,12 +204,17 @@ class Analyzer:
 
     def _raw_segments(
         self, path: Path
-    ) -> Tuple[np.ndarray, Optional[np.ndarray], int, int, Optional[Duration]]:
+    ) -> Tuple[np.ndarray, int, Optional[np.ndarray], Optional[int],
+               int, int, Optional[Duration]]:
         """Source-rate opening/ending windows of a PCM file (no resample).
 
-        Returns (opening_raw, ending_raw, rate, channels, seek_to) with the
-        same window semantics as _decode_segments, but sliced in source
-        samples.
+        Returns (opening_seg, opening_n_valid, ending_seg, ending_n_valid,
+        rate, channels, seek_to) with the same window semantics as
+        _decode_segments, sliced in source samples. Segments may EXTEND
+        past their window's true end (n_valid samples): the opening is the
+        whole memmap with n_valid = the window length, so the upload path
+        can stream an oversized view straight from the page cache and the
+        device zeroes the excess (IngestDispatcher.add).
         """
         from . import ingest
         from .tracing import span
@@ -221,14 +226,15 @@ class Analyzer:
             np.float32(self.opening_search_percentage)
         )
         n_open = int(opening_duration.as_secs_f64() * rate) * channels
-        opening_raw = samples[:n_open]
-        ending_raw, seek_to = None, None
+        opening_seg, opening_nv = samples, n_open
+        ending_seg, ending_nv, seek_to = None, None, None
         if self.include_endings:
             seek_to = stream_duration.mul_f32(
                 np.float32(1.0) - np.float32(self.ending_search_percentage)
             )
             n_skip = int((seek_to.as_millis() / 1000.0) * rate) * channels
-            ending_raw = samples[n_skip:]
+            ending_seg = samples[n_skip:]
+            ending_nv = len(ending_seg)
 
         # Band-limited decimation to >= 8 kHz (chroma uses nothing above
         # ~3520 Hz) runs ON DEVICE by default — inside the fused ingest
@@ -244,15 +250,18 @@ class Analyzer:
 
             if decimation_factor(rate) > 1:
                 with span("ingest.decimate"):
-                    opening_raw, new_rate = host_decimate(
-                        np.asarray(opening_raw), rate, channels
+                    opening_seg, new_rate = host_decimate(
+                        np.asarray(samples[:n_open]), rate, channels
                     )
-                    if ending_raw is not None:
-                        ending_raw, _ = host_decimate(
-                            np.asarray(ending_raw), rate, channels
+                    opening_nv = len(opening_seg)
+                    if ending_seg is not None:
+                        ending_seg, _ = host_decimate(
+                            np.asarray(ending_seg), rate, channels
                         )
+                        ending_nv = len(ending_seg)
                     rate = new_rate
-        return opening_raw, ending_raw, rate, channels, seek_to
+        return (opening_seg, opening_nv, ending_seg, ending_nv,
+                rate, channels, seek_to)
 
     # -- hash assembly (analyzer.rs:286-318) -----------------------------------
 
@@ -330,11 +339,14 @@ class Analyzer:
         if self._use_device_ingest(path):
             from .fingerprint.jax_impl import fingerprint_ingest_jax_batch
 
-            op_raw, en_raw, rate, channels, seek_to = self._raw_segments(path)
-            segs = [op_raw] + ([en_raw] if en_raw is not None else [])
-            outs = fingerprint_ingest_jax_batch(segs, rate, channels)
+            (op_seg, op_nv, en_seg, en_nv, rate, channels, seek_to) = (
+                self._raw_segments(path)
+            )
+            segs = [op_seg] + ([en_seg] if en_seg is not None else [])
+            nvs = [op_nv] + ([en_nv] if en_seg is not None else [])
+            outs = fingerprint_ingest_jax_batch(segs, rate, channels, nvs)
             opening_hashes = outs[0]
-            ending_hashes = outs[1] if en_raw is not None else None
+            ending_hashes = outs[1] if en_seg is not None else None
         else:
             opening_pcm, ending_pcm, _, seek_to = self._decode_segments(path)
             opening_hashes = fp(opening_pcm)
@@ -442,8 +454,12 @@ class Analyzer:
                     print(f"Skipping analysis for {path}...")
                     return ("cached", data)
             if self._use_device_ingest(path):
-                op_raw, en_raw, rate, channels, seek_to = self._raw_segments(path)
-                return ("raw", md5, op_raw, en_raw, seek_to, rate, channels)
+                (op_seg, op_nv, en_seg, en_nv, rate, channels, seek_to) = (
+                    self._raw_segments(path)
+                )
+                ending = (en_seg, en_nv) if en_seg is not None else None
+                return ("raw", md5, (op_seg, op_nv), ending,
+                        seek_to, rate, channels)
             opening_pcm, ending_pcm, _, seek_to = self._decode_segments(path)
             return (
                 "decoded",
@@ -469,15 +485,15 @@ class Analyzer:
             if item[0] == "cached":
                 return
             if item[0] == "raw":
-                _, _, op_raw, en_raw, _, rate, channels = item
+                _, _, (op_seg, op_nv), ending, _, rate, channels = item
                 d = raw_dispatchers.get((rate, channels))
                 if d is None:
                     d = raw_dispatchers[(rate, channels)] = IngestDispatcher(
                         rate, channels
                     )
-                d.add((vi, "opening"), op_raw)
-                if en_raw is not None:
-                    d.add((vi, "ending"), en_raw)
+                d.add((vi, "opening"), op_seg, op_nv)
+                if ending is not None:
+                    d.add((vi, "ending"), ending[0], ending[1])
             else:
                 _, _, opening_mono, ending_mono, _ = item
                 mono_segments.append(opening_mono)

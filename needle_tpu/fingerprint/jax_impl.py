@@ -393,10 +393,18 @@ def _ingest_fingerprint_batched(
     zero padding (the FIR rings past a segment's true end otherwise)."""
 
     def one(raw, nv):
+        # Zero every frame >= the lane's valid count FIRST: lanes may carry
+        # real samples past their segment's true end (uploading an extended
+        # memmap slice costs no host copy, where zero-padding costs a full
+        # memcpy), and the canonical semantics are zeros beyond the window
+        # (what chromaprint would have been fed).
+        x = raw.reshape(-1, channels).astype(jnp.int32)
+        x = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) < nv, x, 0
+        )
         if dec_factor > 1:
             from .decimate import _HB_MAIN, _HB_RELAXED, _halfband_q14
 
-            x = raw.reshape(-1, channels).astype(jnp.int32)
             nv1 = nv
             if dec_factor == 4:
                 x = _device_decimate2_hb_i32(x, *_halfband_q14(*_HB_RELAXED))
@@ -410,19 +418,13 @@ def _ingest_fingerprint_batched(
             x = jnp.where(
                 jnp.arange(x.shape[0], dtype=jnp.int32)[:, None] < nv1, x, 0
             )
-            if channels == 2:
-                s = x[:, 0] + x[:, 1]
-                mono = jnp.where(s < 0, -((-s) >> 1), s >> 1).astype(
-                    jnp.float32
-                )
-            else:
-                mono = x[:, 0].astype(jnp.float32)
-        elif channels == 2:
+        if channels == 2:
             # exact chromaprint downmix semantics: (l + r) / 2 with C
             # truncation toward zero (matches the host oracle bit-for-bit)
-            mono = downmix_stereo_i16_jnp(raw)
+            s = x[:, 0] + x[:, 1]
+            mono = jnp.where(s < 0, -((-s) >> 1), s >> 1).astype(jnp.float32)
         else:
-            mono = raw.astype(jnp.float32)
+            mono = x[:, 0].astype(jnp.float32)
         if mid_rate != SAMPLE_RATE:
             mono = _resample_inline(mono, rs_mat, mid_rate, n_frames)
         pad_len = (n_frames + _ROWS_PER_FRAME + 1) * HOP_SIZE
@@ -483,10 +485,18 @@ class IngestDispatcher:
         self._launched: list = []  # (refs, device_out)
         self._out_lens: dict = {}  # ref -> n_sub
         self._empty: dict = {}  # ref -> empty result
+        self._zero_rows: dict = {}  # in_len -> device zero row (pad lanes)
 
-    def add(self, ref, segment: np.ndarray) -> None:
+    def add(self, ref, segment: np.ndarray, n_valid: int = None) -> None:
+        """Queue one segment. `segment` may EXTEND past the true window
+        (e.g. an oversized memmap slice of the source file — costs no host
+        copy); `n_valid` is the window's true sample count (interleaved;
+        default: len(segment)). Samples past n_valid are zeroed on device,
+        so results are identical to a zero-padded upload."""
         segment = np.asarray(segment, dtype=np.int16)
-        n_dec = (len(segment) // self.channels) // self.dec_factor
+        if n_valid is None:
+            n_valid = len(segment)
+        n_dec = (n_valid // self.channels) // self.dec_factor
         n_res = resampled_length(n_dec * self.channels, self.mid_rate,
                                  self.channels)
         n_sub = num_subfingerprints(n_res)
@@ -497,7 +507,7 @@ class IngestDispatcher:
         nf_b = _bucket_frames(num_frames(n_res))
         refs, segs = self._pending.setdefault(nf_b, ([], []))
         refs.append(ref)
-        segs.append(segment)
+        segs.append((segment, n_valid))
         if len(refs) >= LANES:
             self._dispatch(nf_b)
 
@@ -508,14 +518,34 @@ class IngestDispatcher:
         _, in_len, _ = _ingest_dims(self.mid_rate, nf_b)
         in_len *= self.channels * self.dec_factor
         with span("ingest.batch_assemble"):
-            batch = np.zeros((LANES, in_len), np.int16)
+            # Lanes whose (extended) segment covers in_len upload the
+            # memmap view DIRECTLY — the transfer engine streams from the
+            # page cache and the host never memcpys the audio (measured
+            # 45 s/season of pure memcpy in CPU-throttled eras). Short
+            # lanes fall back to a zero-padded copy.
+            rows = []
             nv = np.zeros((LANES,), np.int32)
-            for r, s in enumerate(segs):
-                batch[r, : min(len(s), in_len)] = s[:in_len]
-                nv[r] = min(len(s), in_len) // self.channels
+            for r in range(LANES):
+                if r < len(segs):
+                    s, n_valid = segs[r]
+                    nv[r] = min(n_valid, in_len) // self.channels
+                    if len(s) >= in_len:
+                        rows.append(s[:in_len])
+                        continue
+                    buf = np.zeros(in_len, np.int16)
+                    buf[: len(s)] = s
+                    rows.append(buf)
+                else:
+                    # pad lanes reuse one cached device row: no bytes move
+                    if in_len not in self._zero_rows:
+                        self._zero_rows[in_len] = jax.device_put(
+                            np.zeros(in_len, np.int16)
+                        )
+                    rows.append(self._zero_rows[in_len])
         with span("ingest.upload"):
-            device_batch = jax.device_put(batch)
+            dev_rows = jax.device_put(rows)
         with span("ingest.dispatch"):
+            device_batch = jnp.stack(dev_rows)
             out = _ingest_fingerprint_batched(
                 device_batch, jnp.asarray(nv), self._rs_mat, *self._tables,
                 self.mid_rate, self.channels, nf_b, self.dec_factor,
@@ -546,16 +576,19 @@ class IngestDispatcher:
 
 
 def fingerprint_ingest_jax_batch(
-    segments: Sequence[np.ndarray], in_rate: int, channels: int = 1
+    segments: Sequence[np.ndarray], in_rate: int, channels: int = 1,
+    n_valids: Sequence[int] = None,
 ) -> List[np.ndarray]:
     """Fingerprint raw-PCM segments (i16 at in_rate, interleaved if stereo)
-    entirely on device: downmix + resample + hash in one fused program,
-    dispatched in fixed-size lane chunks grouped by length bucket."""
+    entirely on device: [decimate ->] downmix -> resample -> hash in one
+    fused program, dispatched in fixed-size lane chunks grouped by length
+    bucket. Segments may extend past their true window when `n_valids`
+    gives the true sample counts (see IngestDispatcher.add)."""
     if not segments:
         return []
     d = IngestDispatcher(in_rate, channels)
     for idx, s in enumerate(segments):
-        d.add(idx, s)
+        d.add(idx, s, None if n_valids is None else n_valids[idx])
     results = d.finish()
     return [results[i] for i in range(len(segments))]
 
