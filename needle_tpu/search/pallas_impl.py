@@ -1,23 +1,33 @@
-"""Pallas TPU kernel for the diagonal-run search (EXPERIMENTAL).
+"""Pallas TPU kernel for the diagonal-run search.
 
 The XLA tile kernel is HBM-traffic bound: XLA materializes ~30 bytes of
 intermediates per (i, diagonal) cell (gathered dst, match matrix, cumsum
 buffers), measured at ~2.5 ms per pair on v5e. This kernel streams both
-hash vectors into VMEM/SMEM once per (pair, tile) step and walks i
-sequentially, carrying run lengths in registers — HBM traffic is just the
-two hash vectors in and one count block out.
+hash vectors into VMEM/SMEM once per pair and walks i sequentially,
+carrying run lengths in registers — HBM traffic is just the two hash
+vectors in and one count block out.
+
+Layout: each grid step processes a GROUP of 8 diagonal tiles as one
+(8, 512) block — sublane = tile, lane = diagonal-within-tile — so every
+vector op runs at full VPU width (the single-tile formulation's (1, 512)
+ops wasted 7/8 sublanes and measured ~5x slower end-to-end). The dst
+windows of the 8 tiles at row i are 8 CONSECUTIVE 512-wide rows of the
+staged dst buffer, all at the same lane phase r = (i + offset) % 512, so
+one pair of (8, 512) row blocks + two lane-rolls per row serves all 8
+tiles; the blocks are re-extracted only when the phase wraps (once per
+512 rows).
 
 Mosaic TPU constraints shaped every access here:
   * dynamic vector loads must be (8, 128)-tile aligned -> dst lives in a
-    row-aligned (rows, 512) VMEM buffer; each sliding window is built from
-    a 16-row aligned load + dynamic sublane/lane rotations (pltpu.roll)
-    with mask-reduce row extraction (no size-1 slices);
+    row-aligned (rows, 512) VMEM buffer; row blocks come from 16-row
+    aligned loads + dynamic sublane rolls (pltpu.roll), no size-1 slices;
   * src is staged to SMEM for per-row dynamic scalar reads;
   * the output block is written whole each grid step (read-modify-write
-    accumulation over the tile axis) — size-1 tile-dim stores don't lower.
+    accumulation) — size-1 tile-dim stores don't lower; the group's rows
+    land via an 8-aligned dynamic_update_slice.
 
-Status: EXPERIMENTAL — exact against the NumPy oracle in interpreter mode;
-enable on hardware with NEEDLE_TPU_SEARCH=pallas.
+Exact against the NumPy oracle in interpreter mode (tests) and on
+hardware (production default, NEEDLE_TPU_SEARCH).
 """
 
 from __future__ import annotations
@@ -32,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 D_TILE = 512
-I_BLK = 8  # i rows per inner step
+G_TILES = 8  # diagonal tiles per grid step (sublane dimension)
 
 
 def _popcount(x):
@@ -51,8 +61,10 @@ def _kernel(
     src_sm, dst2d, sem,  # scratch: src in SMEM (dynamic scalar reads)
 ):
     p = pl.program_id(0)
-    t = pl.program_id(1)
-    d0 = t * D_TILE - (n_pad - 1)
+    g = pl.program_id(1)
+    # group g covers diagonal offsets [g*8*512, g*8*512 + 8*512) shifted
+    # by -(n_pad-1); sublane k within the group is tile g*8 + k
+    d0 = g * (G_TILES * D_TILE) - (n_pad - 1)
     nv = nv_ref[p]
     mv = mv_ref[p]
     l_min = jnp.maximum(lm_ref[p], 1)
@@ -63,69 +75,103 @@ def _kernel(
     left_rows = -(-(-(-(n_pad - 1) // D_TILE)) // 8) * 8
     left = left_rows * D_TILE
 
-    cp_src = pltpu.make_async_copy(src_hbm.at[p], src_sm, sem.at[0])
-    cp_dst = pltpu.make_async_copy(
-        dst_hbm.at[p], dst2d.at[pl.ds(left_rows, n_rows), :], sem.at[1]
-    )
-    cp_src.start()
-    cp_dst.start()
-    # zero the pads while the DMAs fly
-    dst2d[pl.ds(0, left_rows), :] = jnp.zeros((left_rows, D_TILE), jnp.uint32)
-    tail0 = left_rows + n_rows
-    dst2d[pl.ds(tail0, dst2d.shape[0] - tail0), :] = jnp.zeros(
-        (dst2d.shape[0] - tail0, D_TILE), jnp.uint32
-    )
-    cp_src.wait()
-    cp_dst.wait()
+    # Stage this pair's hash vectors once: scratch persists across grid
+    # steps and the group axis g is innermost, so only the FIRST group of
+    # a pair pays the HBM->VMEM/SMEM copies.
+    @pl.when(g == 0)
+    def _stage():
+        cp_src = pltpu.make_async_copy(src_hbm.at[p], src_sm, sem.at[0])
+        cp_dst = pltpu.make_async_copy(
+            dst_hbm.at[p], dst2d.at[pl.ds(left_rows, n_rows), :], sem.at[1]
+        )
+        cp_src.start()
+        cp_dst.start()
+        # zero the pads while the DMAs fly
+        dst2d[pl.ds(0, left_rows), :] = jnp.zeros(
+            (left_rows, D_TILE), jnp.uint32
+        )
+        tail0 = left_rows + n_rows
+        dst2d[pl.ds(tail0, dst2d.shape[0] - tail0), :] = jnp.zeros(
+            (dst2d.shape[0] - tail0, D_TILE), jnp.uint32
+        )
+        cp_src.wait()
+        cp_dst.wait()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D_TILE), 1)
-    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, D_TILE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G_TILES, D_TILE), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G_TILES, D_TILE), 0)
+    # diagonal offset per (sub, lane) cell relative to row i
+    off = d0 + sub * D_TILE + lane
 
-    def window(start):
-        """dst[start : start + D_TILE] via a 16-row aligned load, dynamic
-        sublane rotation, mask-reduce row extraction, and lane rotation."""
-        q = start // D_TILE
-        r = start % D_TILE
-        base8 = (q // 8) * 8
-        rows16 = dst2d[pl.ds(base8, 16), :]
-        rp = pltpu.roll(rows16, base8 - q, 0)  # row 0 = q, row 1 = q+1
-        rp_i = rp.astype(jnp.int32)
-        row0 = jnp.sum(jnp.where(sub16 == 0, rp_i, 0), axis=0, keepdims=True)
-        row1 = jnp.sum(jnp.where(sub16 == 1, rp_i, 0), axis=0, keepdims=True)
-        rot0 = pltpu.roll(row0, -r, 1)
-        rot1 = pltpu.roll(row1, -r, 1)
-        return jnp.where(lane < (D_TILE - r), rot0, rot1).astype(jnp.uint32)
-
-    def body(b, carry):
-        # all carries are i32 vectors (i1 vector loop state fails to
-        # legalize in Mosaic's scf.for lowering)
+    # Row walk in phase blocks: the window of tile k at row i starts at
+    # s_k = i + d0 + left + k*D_TILE — 8 consecutive 512-wide dst rows at
+    # a common lane phase r = (i + d0 + left) % D_TILE. n_pad is a D_TILE
+    # multiple, so d0 + left ≡ 1 (mod D_TILE): the phase wraps exactly at
+    # i ≡ D_TILE-1. Each outer step b covers rows [b*D_TILE - 1,
+    # (b+1)*D_TILE - 1) — constant base row q — extracts row blocks
+    # A = dst2d[q .. q+8) and B = dst2d[q+1 .. q+9) once, and the inner
+    # walk is two (8,512) lane-rolls + select + popcount + run update per
+    # row. Rows i < 0 / i >= n_pad at the edges fail the validity mask
+    # (S = 0), preserving the exact sequential run semantics.
+    def blk(b, carry):
         prev_S, prev_run, cand = carry
-        for s in range(I_BLK):
-            i = b * I_BLK + s
-            j = i + d0 + lane  # (1, D_TILE) diagonal j indices at row i
-            dst_row = window(i + d0 + left)
-            src_i = src_sm[i // D_TILE, i % D_TILE]
-            valid = (i >= 1) & (i < nv) & (j >= 1) & (j < mv)
-            S = ((_popcount(src_i ^ dst_row) <= thr) & valid).astype(jnp.int32)
-            ends_prev = (prev_S == 1) & (S == 0)
-            cand = cand + jnp.where(ends_prev & (prev_run >= l_min), 1, 0)
-            run = jnp.where(S == 1, prev_run * prev_S + 1, 0)
-            prev_S, prev_run = S, run
-        return prev_S, prev_run, cand
+        i0 = b * D_TILE - 1
+        s0 = i0 + d0 + left  # a D_TILE multiple (see above)
+        q = s0 // D_TILE
+        base16 = (q // 16) * 16
+        rows32 = dst2d[pl.ds(base16, 32), :]
+        rp = pltpu.roll(rows32, base16 - q, 0)  # row 0 = dst2d[q]
+        A = rp[0:G_TILES, :].astype(jnp.int32)
+        B = pltpu.roll(rp, 31, 0)[0:G_TILES, :].astype(jnp.int32)  # rp shifted by -1
 
-    zero_i = jnp.zeros((1, D_TILE), jnp.int32)
+        def rows8(rr, carry2):
+            # 8-row unroll amortizes the scf.for per-iteration overhead
+            prev_S, prev_run, cand = carry2
+            for u in range(8):
+                r = rr * 8 + u
+                i = i0 + r
+                i_c = jnp.clip(i, 0, n_pad - 1)
+                j = i + off
+                rot_a = pltpu.roll(A, -r, 1)
+                rot_b = pltpu.roll(B, -r, 1)
+                dst_blk = jnp.where(lane < (D_TILE - r), rot_a, rot_b).astype(
+                    jnp.uint32
+                )
+                src_i = src_sm[i_c // D_TILE, i_c % D_TILE]
+                valid = (i >= 1) & (i < nv) & (j >= 1) & (j < mv)
+                S = ((_popcount(src_i ^ dst_blk) <= thr) & valid).astype(
+                    jnp.int32
+                )
+                ends_prev = (prev_S == 1) & (S == 0)
+                cand = cand + jnp.where(
+                    ends_prev & (prev_run >= l_min), 1, 0
+                )
+                prev_run = jnp.where(S == 1, prev_run * prev_S + 1, 0)
+                prev_S = S
+            return prev_S, prev_run, cand
+
+        return jax.lax.fori_loop(
+            0, D_TILE // 8, rows8, (prev_S, prev_run, cand)
+        )
+
+    zero_i = jnp.zeros((G_TILES, D_TILE), jnp.int32)
     prev_S, prev_run, cand = jax.lax.fori_loop(
-        0, n_pad // I_BLK, body, (zero_i, zero_i, zero_i)
+        0, n_pad // D_TILE + 1, blk, (zero_i, zero_i, zero_i)
     )
     # the final row's live runs end at the array edge
     cand = cand + jnp.where((prev_S == 1) & (prev_run >= l_min), 1, 0)
 
-    # whole-block read-modify-write: size-1 stores on tiled dims don't
-    # lower, so each t step writes the full (n_tiles_pad, D_TILE) block
-    # with its own row updated (the block stays resident across t steps).
-    row_sel = jax.lax.broadcasted_iota(jnp.int32, counts_ref.shape, 1) == t
-    prev = jnp.where(t == 0, 0, counts_ref[...])
-    counts_ref[...] = prev + jnp.where(row_sel, cand[None, :, :], 0)
+    # whole-block read-modify-write accumulation: the group's 8 count rows
+    # land at row g*8 by zero-extending cand to the full block and
+    # rotating sublanes by g*8 (dynamic_update_slice doesn't lower in
+    # Mosaic; a dynamic-shift roll does, and the zero rows make the
+    # rotation non-overlapping)
+    prev = jnp.where(g == 0, 0, counts_ref[...])
+    n_tiles_pad = counts_ref.shape[1]
+    padded = jnp.concatenate(
+        [cand, jnp.zeros((n_tiles_pad - G_TILES, D_TILE), jnp.int32)], axis=0
+    )
+    placed = pltpu.roll(padded, g * G_TILES, 0)
+    counts_ref[...] = prev + placed[None, :, :]
 
 
 @functools.partial(
@@ -140,7 +186,8 @@ def batch_counts_pallas(
     assert n_pad % D_TILE == 0, "pallas search requires n_pad % 512 == 0"
     chunk = src_b.shape[0]
     n_tiles = -(-(2 * n_pad - 1) // D_TILE)
-    n_tiles_pad = -(-n_tiles // 8) * 8  # output block sublane alignment
+    n_groups = -(-n_tiles // G_TILES)
+    n_tiles_pad = n_groups * G_TILES
     # src/dst reshaped to aligned rows: slicing one pair out of a 2-D
     # tiled HBM array for the DMA violates (8,128) tiling, but a dim-0
     # slice of a 3-D array keeps the tiled trailing dims whole
@@ -153,17 +200,17 @@ def batch_counts_pallas(
         chunk, n_rows, D_TILE
     )
     left_rows = -(-(-(-(n_pad - 1) // D_TILE)) // 8) * 8
-    ext_rows = left_rows + n_rows + n_tiles + 17
+    ext_rows = left_rows + n_rows + n_tiles_pad + 33
     ext_rows = -(-ext_rows // 16) * 16
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(chunk, n_tiles),
+        grid=(chunk, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_tiles_pad, D_TILE), lambda p, t, *_: (p, 0, 0),
+            (1, n_tiles_pad, D_TILE), lambda p, g, *_: (p, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
