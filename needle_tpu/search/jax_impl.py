@@ -240,6 +240,56 @@ def _batch_tiles_indexed(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
     return jax.vmap(one)(ia_b, ib_b, lm_b)
 
 
+# Max candidates extracted per flagged diagonal by the device pass; a
+# diagonal with more run-ends (pathological self-similarity) falls back to
+# the host rescan. Real flagged diagonals carry 1-2 ends.
+K_CANDS = 8
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
+def _batch_extract_candidates(
+    table, vtab, ia_b, ib_b, off_b, lm_b, threshold, n_pad
+):
+    """Device extraction of run-end candidates for flagged diagonals.
+
+    For each (pair, diagonal-offset) work item: recompute the diagonal's
+    match vector from the device-resident episode table, run-length scan
+    it, and return the top-K_CANDS run ends with run >= l_min as
+    (end_i, run_len) plus the total count (count > K_CANDS => host
+    fallback). Extracting only runs >= the conservative hash-count bound
+    is exact: a shorter run spans < l_min * max_spacing <= min_duration
+    of real time, so the later timestamp filter would drop it anyway.
+    Replaces the host per-diagonal rescan that cost ~18% of wall at
+    1000-episode scale (67 s of numpy over 500k diagonals)."""
+
+    def one(ia, ib, off, lm):
+        hs, hd = table[ia], table[ib]
+        vs, vd = vtab[ia], vtab[ib]
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        j = idx + off
+        jc = jnp.clip(j, 0, n_pad - 1)
+        S = (
+            (_popcount_u32_jnp(hs ^ hd[jc]) <= threshold)
+            & vs
+            & vd[jc]
+            & (j == jc)
+        )
+        c = jnp.cumsum(S.astype(jnp.int32))
+        z = jnp.where(S, 0, c)
+        run = c - jax.lax.cummax(z)
+        S_next = jnp.concatenate([S[1:], jnp.zeros(1, bool)])
+        ends = S & ~S_next & (run >= jnp.maximum(lm, 1))
+        score = jnp.where(ends, idx + 1, 0)
+        top_vals = jax.lax.top_k(score, K_CANDS)[0]
+        end_i = top_vals - 1  # -1 = unused slot
+        runs = jnp.where(
+            end_i >= 0, run[jnp.clip(end_i, 0, n_pad - 1)], 0
+        )
+        return end_i, runs, jnp.sum(ends.astype(jnp.int32))
+
+    return jax.vmap(one)(ia_b, ib_b, off_b, lm_b)
+
+
 def _diag_candidates(
     hs: np.ndarray, hd: np.ndarray, off: int, threshold: int
 ) -> List[Tuple[int, int, int]]:
@@ -418,6 +468,7 @@ class JaxSearchEngine:
         chunk = min(chunk, pow2)
 
         pair_cands: Dict[int, List[Tuple[int, int, int]]] = {}
+        pair_lm: Dict[int, int] = {}
         d_base = -(n_pad - 1)
 
         # Launch every chunk asynchronously (JAX queues dispatches), then
@@ -470,6 +521,7 @@ class JaxSearchEngine:
                     -(-min_dur_ns // sb.max_spacing),
                 )
                 lm_b[r] = min(lm, np.iinfo(np.int32).max)
+                pair_lm[p_idx] = lm_b[r]
 
             dispatch = (
                 _batch_pallas_bitmask if kernel == "pallas"
@@ -502,9 +554,7 @@ class JaxSearchEngine:
         else:
             counts_all = np.asarray(launched[0][1])
         row0 = 0
-        rescan_s, rescan_diags = 0.0, 0
-        import time as _time
-
+        items: List[Tuple[int, int, int, int]] = []  # (p_idx, a, b, offset)
         for batch, out in launched:
             # out.shape[0] can exceed `chunk` when shard_batch padded the
             # lane axis to the mesh device count; advance by the REAL row
@@ -513,27 +563,12 @@ class JaxSearchEngine:
             row0 += out.shape[0]
             for r, (p_idx, a, b) in enumerate(batch):
                 hit = np.flatnonzero(np.unpackbits(counts[r], bitorder="little"))
-                if len(hit) == 0:
-                    continue
-                sa, sb = sides[a], sides[b]
-                lst = pair_cands.setdefault(p_idx, [])
-                t0 = _time.perf_counter()
                 for pos in hit:
-                    lst.extend(
-                        _diag_candidates(
-                            sa.hashes, sb.hashes, int(pos) + d_base, threshold
-                        )
-                    )
-                rescan_s += _time.perf_counter() - t0
-                rescan_diags += len(hit)
-        from ..tracing import metrics as _metrics
-
-        # recorded separately so the host-rescan share of collect is
-        # measurable at library scale ("rescan_diags" abuses the seconds
-        # column as a flagged-diagonal counter)
-        _metrics.record("search.rescan", rescan_s)
-        if rescan_diags:
-            _metrics.record("search.rescan_diags", float(rescan_diags))
+                    items.append((p_idx, a, b, int(pos) + d_base))
+        self._extract_candidates(
+            items, sides, pair_cands, pair_lm, ep_slot,
+            table_d, vtab_d, threshold, n_pad,
+        )
         collect_span.__exit__(None, None, None)
 
         for p_idx, a, b in work:
@@ -548,6 +583,85 @@ class JaxSearchEngine:
                 min_dur_ns,
             )
         return results
+
+    def _extract_candidates(
+        self, items, sides, pair_cands, pair_lm, ep_slot,
+        table_d, vtab_d, threshold, n_pad,
+    ) -> None:
+        """Turn flagged (pair, diagonal) work items into exact (i, j, run)
+        candidates: a batched device pass returns the top-K_CANDS run ends
+        per diagonal; overflowing diagonals (count > K_CANDS) rescan on
+        host. NEEDLE_TPU_EXTRACT=host forces the all-host path."""
+        import os
+        import time as _time
+
+        from ..tracing import metrics as _metrics
+
+        if not items:
+            return
+        host_only = (
+            os.environ.get("NEEDLE_TPU_EXTRACT") == "host"
+            or jax.default_backend() == "cpu" and len(items) < 64
+        )
+        t0 = _time.perf_counter()
+        host_diags = 0
+        if host_only:
+            for p_idx, a, b, off in items:
+                pair_cands.setdefault(p_idx, []).extend(
+                    _diag_candidates(
+                        sides[a].hashes, sides[b].hashes, off, threshold
+                    )
+                )
+            host_diags = len(items)
+        else:
+            CH = 4096
+            launched = []
+            for c0 in range(0, len(items), CH):
+                blk = items[c0 : c0 + CH]
+                n_blk = _bucket(len(blk), minimum=min(CH, 256))
+                ia = np.zeros(n_blk, np.int32)
+                ib = np.zeros(n_blk, np.int32)
+                off_a = np.zeros(n_blk, np.int32)
+                lm_a = np.full(n_blk, np.iinfo(np.int32).max, np.int32)
+                for r, (p_idx, a, b, off) in enumerate(blk):
+                    ia[r] = ep_slot[a]
+                    ib[r] = ep_slot[b]
+                    off_a[r] = off
+                    lm_a[r] = pair_lm[p_idx]
+                launched.append(
+                    (
+                        blk,
+                        _batch_extract_candidates(
+                            table_d, vtab_d, jnp.asarray(ia),
+                            jnp.asarray(ib), jnp.asarray(off_a),
+                            jnp.asarray(lm_a), threshold, n_pad,
+                        ),
+                    )
+                )
+            for blk, (end_i_d, runs_d, counts_d) in launched:
+                end_i = np.asarray(end_i_d)
+                runs = np.asarray(runs_d)
+                counts = np.asarray(counts_d)
+                for r, (p_idx, a, b, off) in enumerate(blk):
+                    lst = pair_cands.setdefault(p_idx, [])
+                    if counts[r] > K_CANDS:
+                        # pathological diagonal: exact host extraction
+                        lst.extend(
+                            _diag_candidates(
+                                sides[a].hashes, sides[b].hashes, off,
+                                threshold,
+                            )
+                        )
+                        host_diags += 1
+                        continue
+                    for k in range(K_CANDS):
+                        ei = int(end_i[r, k])
+                        if ei >= 0:
+                            lst.append((ei, ei + off, int(runs[r, k])))
+        _metrics.record("search.extract", _time.perf_counter() - t0)
+        _metrics.record("search.extract_diags", float(len(items)))
+        if host_diags:
+            _metrics.record("search.extract_host_fallback", float(host_diags))
 
     def search_pairs(self, comparator, frame_hashes, pairs):
         """Engine entry point used by Comparator.run_with_frame_hashes."""

@@ -66,3 +66,43 @@ def test_engine_with_pallas_kernel_matches_numpy(rng, monkeypatch):
     expect = run("numpy")
     assert got == expect
     assert any(g is not None for g in got)
+
+
+def test_device_extraction_overflow_falls_back(rng):
+    """A diagonal with more run-ends than K_CANDS (periodic corruption)
+    overflows the device extraction and must fall back to the exact host
+    rescan — results identical to the NumPy oracle engine."""
+    from needle_tpu import Comparator
+    from needle_tpu.data import FrameHashes
+    from needle_tpu.duration import Duration
+
+    n = 600
+    step = 247619033
+    base = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    fhs = []
+    for e in range(3):
+        h = base.copy()
+        # corrupt a different sparse set per episode -> many short shared
+        # runs on the main diagonal of every pair
+        h[e + 3 :: 37] ^= np.uint32(0xFFFFFFFF)
+        ts = (2600090703 + np.arange(n) * step).astype(np.int64)
+        fhs.append(
+            FrameHashes(h, ts, np.zeros(0, np.uint32),
+                        np.zeros(0, np.int64),
+                        Duration.from_millis(300), f"{e:032x}")
+        )
+    results = {}
+    for engine in ("numpy", "jax"):
+        cmp = Comparator.from_files(
+            [f"x{k}.mkv" for k in range(3)], engine=engine
+        ).with_min_opening_duration(Duration.from_secs(2))
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        results[engine] = [
+            None if r.opening is None
+            else (str(r.opening[0]), str(r.opening[1]))
+            for r in res
+        ]
+    assert results["jax"] == results["numpy"]
+    assert any(r is not None for r in results["jax"])
