@@ -639,25 +639,30 @@ class JaxSearchEngine:
                     )
                 )
             for blk, (end_i_d, runs_d, counts_d) in launched:
-                end_i = np.asarray(end_i_d)
-                runs = np.asarray(runs_d)
-                counts = np.asarray(counts_d)
-                for r, (p_idx, a, b, off) in enumerate(blk):
-                    lst = pair_cands.setdefault(p_idx, [])
-                    if counts[r] > K_CANDS:
-                        # pathological diagonal: exact host extraction
-                        lst.extend(
-                            _diag_candidates(
-                                sides[a].hashes, sides[b].hashes, off,
-                                threshold,
-                            )
+                end_i = np.asarray(end_i_d)[: len(blk)]
+                runs = np.asarray(runs_d)[: len(blk)]
+                counts = np.asarray(counts_d)[: len(blk)]
+                # pathological diagonals (count > K): exact host extraction
+                for r in np.flatnonzero(counts > K_CANDS):
+                    p_idx, a, b, off = blk[r]
+                    pair_cands.setdefault(p_idx, []).extend(
+                        _diag_candidates(
+                            sides[a].hashes, sides[b].hashes, off, threshold
                         )
-                        host_diags += 1
-                        continue
-                    for k in range(K_CANDS):
-                        ei = int(end_i[r, k])
-                        if ei >= 0:
-                            lst.append((ei, ei + off, int(runs[r, k])))
+                    )
+                    host_diags += 1
+                # vectorized unpack of the filled slots (a python loop over
+                # every K slot of every item cost ~30 s at 500k diagonals)
+                rs, ks = np.nonzero(
+                    (end_i >= 0) & (counts <= K_CANDS)[:, None]
+                )
+                ei_v = end_i[rs, ks].tolist()
+                run_v = runs[rs, ks].tolist()
+                for r, ei, rn in zip(rs.tolist(), ei_v, run_v):
+                    p_idx, _, _, off = blk[r]
+                    pair_cands.setdefault(p_idx, []).append(
+                        (ei, ei + off, rn)
+                    )
         _metrics.record("search.extract", _time.perf_counter() - t0)
         _metrics.record("search.extract_diags", float(len(items)))
         if host_diags:
