@@ -100,12 +100,16 @@ def pick_decimation_placement():
     fir_s_per_ep = (time.perf_counter() - t0) / 4.0 * EPISODE_SECS * 0.75
     fir_total = fir_s_per_ep * NUM_EPISODES
     upload_mb = NUM_EPISODES * EPISODE_SECS * 0.75 * RATE * 2 / 1e6
-    savings = (upload_mb / 2.0) / max(h2d_bandwidth_mb_s(), 1.0)
-    mode = "host" if fir_total < 0.8 * savings else "auto"
+    # The FIR runs in decode-pool threads with the GIL released, so it
+    # overlaps the uploads: host wall ~= max(upload/2, FIR) vs device
+    # wall ~= full upload. Host wins whenever the FIR beats the FULL
+    # upload time (margin for probe noise).
+    full_upload = upload_mb / max(h2d_bandwidth_mb_s(), 1.0)
+    mode = "host" if fir_total < 0.9 * full_upload else "auto"
     os.environ["NEEDLE_TPU_DECIMATE"] = mode
     print(
         f"decimation placement: {mode} (host FIR ~{fir_total:.1f}s vs "
-        f"upload savings ~{savings:.1f}s @ {h2d_bandwidth_mb_s():.0f} MB/s)"
+        f"full upload ~{full_upload:.1f}s @ {h2d_bandwidth_mb_s():.0f} MB/s)"
     )
 
 

@@ -167,10 +167,16 @@ def _kernel(
     # rotation non-overlapping)
     prev = jnp.where(g == 0, 0, counts_ref[...])
     n_tiles_pad = counts_ref.shape[1]
-    padded = jnp.concatenate(
-        [cand, jnp.zeros((n_tiles_pad - G_TILES, D_TILE), jnp.int32)], axis=0
-    )
-    placed = pltpu.roll(padded, g * G_TILES, 0)
+    if n_tiles_pad == G_TILES:
+        # single group: no placement needed (and a zero-row pad block is
+        # not a legal Mosaic vector type)
+        placed = cand
+    else:
+        padded = jnp.concatenate(
+            [cand, jnp.zeros((n_tiles_pad - G_TILES, D_TILE), jnp.int32)],
+            axis=0,
+        )
+        placed = pltpu.roll(padded, g * G_TILES, 0)
     counts_ref[...] = prev + placed[None, :, :]
 
 
