@@ -38,7 +38,7 @@ OPENING_SECS = 85.0
 ENDING_SECS = 70.0
 RATE = 16000
 SEED = 20260816
-TRIALS = int(os.environ.get("NEEDLE_BENCH_TRIALS", "2"))
+TRIALS = int(os.environ.get("NEEDLE_BENCH_TRIALS", "3"))
 
 CACHE = REPO / ".bench_cache" / (
     f"season{NUM_EPISODES}_{int(EPISODE_SECS)}s_r{RATE}_s{SEED}_v2"
@@ -358,6 +358,9 @@ def main():
                 "accuracy_vs_truth": round(acc, 4),
                 "setup_s": round(setup_s, 2),
                 "h2d_mb_s": round(h2d, 1),
+                "decimation_placement": os.environ.get(
+                    "NEEDLE_TPU_DECIMATE", "auto"
+                ),
                 "analyze_trials_s": [round(t, 3) for t in analyze_times],
                 "search_trials_s": [round(t, 3) for t in search_times],
                 "trials": TRIALS,
