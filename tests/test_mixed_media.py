@@ -1,7 +1,7 @@
 """Mixed-media ingestion: stereo sources, 44.1/48 kHz rates, long inputs.
 
 The device-ingest path (downmix + resample + hash fused on the
-accelerator, plus adaptive host decimation) must agree with the
+accelerator, plus the host/device decimation placements) must agree with the
 host-swresample path used by the numpy backend for any source layout.
 """
 
