@@ -31,21 +31,32 @@ def main() -> None:
     from needle_tpu.fingerprint import jax_impl as J
     from needle_tpu.search import jax_impl as S
 
-    # Fingerprint/ingest programs: common frame buckets x common rates.
+    # Fingerprint/ingest programs: common frame buckets x common source
+    # rates, for both decimation placements (device: dec chain from the
+    # source rate; host: pre-decimated mid rate, dec_factor 1).
+    from needle_tpu.fingerprint.decimate import decimation_factor
+
     frame_buckets = [256, 512, 1280, 2560, 5120] if not quick else [256, 2560]
-    rates = [(16000, 1), (8000, 1), (11025, 2), (12000, 1)]
+    rates = [(16000, 1), (8000, 1), (11025, 2), (12000, 1), (44100, 2)]
     tables = J._device_tables()
     for rate, ch in rates:
-        rs = J._rs_device_matrix(rate)
+        f = decimation_factor(rate)
+        dec = f if f in (2, 4) else 1
+        mid = rate // dec
+        rs = J._rs_device_matrix(mid)
         for nf_b in frame_buckets:
-            _, in_len, _ = J._ingest_dims(rate, nf_b)
-            batch = np.zeros((J.LANES, in_len * ch), np.int16)
+            _, in_len, _ = J._ingest_dims(mid, nf_b)
+            in_len *= ch * dec
+            batch = np.zeros((J.LANES, in_len), np.int16)
+            nv = np.full(J.LANES, in_len // ch, np.int32)
             t0 = time.time()
             out = J._ingest_fingerprint_batched(
-                jax.numpy.asarray(batch), rs, *tables, rate, ch, nf_b
+                jax.numpy.asarray(batch), jax.numpy.asarray(nv), rs,
+                *tables, mid, ch, nf_b, dec,
             )
             np.asarray(out)
-            log(f"ingest rate={rate} ch={ch} nf={nf_b}: {time.time() - t0:.1f}s")
+            log(f"ingest rate={rate} ch={ch} nf={nf_b} dec={dec}: "
+                f"{time.time() - t0:.1f}s")
 
     for nf_b in frame_buckets:
         pad_len = (nf_b + J._ROWS_PER_FRAME + 1) * J.HOP_SIZE
