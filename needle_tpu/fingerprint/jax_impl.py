@@ -583,7 +583,17 @@ def fingerprint_ingest_jax_batch(
     entirely on device: [decimate ->] downmix -> resample -> hash in one
     fused program, dispatched in fixed-size lane chunks grouped by length
     bucket. Segments may extend past their true window when `n_valids`
-    gives the true sample counts (see IngestDispatcher.add)."""
+    gives the true sample counts (see IngestDispatcher.add).
+
+    Exactness scope: the bit-exact borderline rescan (NEEDLE_TPU_EXACT)
+    applies to the pre-decoded 11025 Hz mono path (fingerprint_jax_batch),
+    whose host oracle consumes the identical input samples. THIS fused path
+    resamples in device f32 — its hash basis is the device resample, for
+    which no sample-identical host oracle exists (host swr is a different
+    resampler), so its hashes are deterministic but not flagged/rescanned;
+    quantization borderlines (~0.05% of hashes, 1 gray bit) are absorbed by
+    the search Hamming threshold. Claims of bit-exactness in docs/STATUS
+    are scoped accordingly."""
     if not segments:
         return []
     d = IngestDispatcher(in_rate, channels)
