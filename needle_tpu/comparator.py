@@ -325,6 +325,33 @@ class Comparator:
 
     # -- top-level runs --------------------------------------------------------
 
+    @staticmethod
+    def pair_order(n: int) -> List[Tuple[int, int]]:
+        """The reference's pair enumeration (comparator.rs:533-545):
+        every unordered pair once, ordered by first appearance."""
+        pairs = []
+        processed = [False] * n
+        for i in range(n):
+            for j in range(n):
+                if i == j or processed[j]:
+                    continue
+                pairs.append((i, j))
+            processed[i] = True
+        return pairs
+
+    def search_pair_infos(
+        self, frame_hashes: List[FrameHashes], pairs: List[Tuple[int, int]]
+    ) -> List[OpeningAndEndingInfo]:
+        """Run the search engine over an explicit pair list. This is the
+        multi-host shard entry point: each process searches its shard of
+        `pair_order(n)` and the union is finalized with
+        `finalize_results` (see parallel.distributed.distributed_search)."""
+        from .tracing import span
+
+        engine = self._engine()
+        with span("search.pairs", pairs=len(pairs), engine=type(engine).__name__):
+            return engine.search_pairs(self, frame_hashes, pairs)
+
     def run_with_frame_hashes(
         self,
         frame_hashes: List[FrameHashes],
@@ -335,26 +362,28 @@ class Comparator:
     ) -> List[SearchResult]:
         """comparator.rs:524-629."""
         n = len(self.videos)
-        pairs = []
-        processed = [False] * n
-        for i in range(n):
-            for j in range(n):
-                if i == j or processed[j]:
-                    continue
-                pairs.append((i, j))
-            processed[i] = True
-
-        from .tracing import span
-
-        engine = self._engine()
-        with span("search.pairs", pairs=len(pairs), engine=type(engine).__name__):
-            infos = engine.search_pairs(self, frame_hashes, pairs)
+        pairs = self.pair_order(n)
+        infos = self.search_pair_infos(frame_hashes, pairs)
         data = [
             (i, j, info)
             for (i, j), info in zip(pairs, infos)
             if not info.is_empty()
         ]
+        return self.finalize_results(
+            data, display, use_skip_files, write_skip_files
+        )
 
+    def finalize_results(
+        self,
+        data: List[Tuple[int, int, OpeningAndEndingInfo]],
+        display: bool,
+        use_skip_files: bool,
+        write_skip_files: bool,
+    ) -> List[SearchResult]:
+        """Candidate voting, skip files, and display from per-pair infos
+        (comparator.rs:567-629). `data` is the non-empty (src, dst, info)
+        union — possibly assembled from several processes' pair shards."""
+        n = len(self.videos)
         info_map: List[List[Tuple[OpeningAndEndingInfo, bool]]] = [[] for _ in range(n)]
         for src_idx, dst_idx, info in data:
             info_map[src_idx].append((info, True))

@@ -19,6 +19,21 @@ Use :func:`set_mesh` (or the `needle_mesh` context manager) to activate a
 mesh; the JAX engines consult :func:`get_mesh` and shard their batched
 dispatches automatically. On one device everything degrades to the
 single-chip path.
+
+**Multi-host model (process-level sharding + per-process local meshes).**
+Under `jax.distributed` the WORK LISTS are sharded across processes —
+episodes for analyze, the pair list for search
+(`parallel.distributed.local_shard` / `distributed_search`) — and each
+process runs the JAX engines on its OWN addressable devices, optionally
+mesh-sharded over a :func:`local_mesh`. Results are exchanged with
+cross-process all-gathers and finalized identically everywhere. The
+engines therefore never `device_put` to non-addressable devices: a mesh
+passed to `shard_batch`/`replicate` must be built from local devices
+(:func:`local_mesh` under multi-process; :func:`make_mesh` single-process,
+where local == global). This fits the workload: episodes/pairs are
+embarrassingly parallel, inputs are small, and no cross-pair communication
+exists — a global-mesh formulation would buy nothing but the collective
+overhead.
 """
 
 from __future__ import annotations
@@ -82,6 +97,13 @@ def make_mesh(
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def local_mesh(axis_name: str = ITEM_AXIS) -> Mesh:
+    """1-D mesh over THIS process's addressable devices — the per-process
+    mesh of the multi-host model (see module docstring). Single-process,
+    this equals make_mesh()."""
+    return Mesh(np.array(jax.local_devices()), (axis_name,))
 
 
 def set_mesh(mesh: Optional[Mesh]) -> None:

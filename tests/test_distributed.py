@@ -1,12 +1,15 @@
-"""Multi-host execution proof: 2 real processes over jax.distributed.
+"""Multi-host execution proof: 2 real processes over jax.distributed,
+running the JAX ENGINES (not the numpy fallbacks) end to end.
 
-The reference is single-process (SURVEY §5.8); needle-tpu's multi-host story
-is `parallel.distributed`: initialize the JAX runtime across processes,
-round-robin-shard episodes per host (`local_shard`), analyze each shard
-locally (persisting `.needle.dat` next to the videos), synchronize, then
-search the whole library on the coordinator. This test launches two actual
-CPU processes wired through `jax.distributed.initialize` and runs that
-exact flow end to end, including a cross-process collective barrier.
+The reference is single-process (SURVEY §5.8); needle-tpu's multi-host
+model is process-level work sharding + per-process local meshes
+(parallel/__init__.py docstring): each process analyzes its episode shard
+with backend="jax" over a 2-device local mesh (`local_mesh`), a collective
+barrier synchronizes the `.needle.dat` files, then BOTH processes search
+their shard of the pair list with engine="jax" and exchange per-pair infos
+through a cross-process all-gather (`distributed_search`), finalizing
+identical results everywhere. This test launches two actual CPU processes
+wired through `jax.distributed.initialize` and runs that exact flow.
 """
 
 import json
@@ -27,8 +30,10 @@ import os
 import sys
 
 # Pin CPU before any jax backend init (the axon sitecustomize would
-# otherwise route this onto the TPU tunnel).
+# otherwise route this onto the TPU tunnel); 2 virtual devices per process
+# so the per-process local mesh is a real (2-device) mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 sys.path.insert(0, sys.argv[1])
 
 import jax
@@ -38,7 +43,9 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from needle_tpu import Analyzer, Comparator
+from needle_tpu.data import FrameHashes, frame_hash_data_path
 from needle_tpu.duration import Duration
+from needle_tpu.parallel import local_mesh, set_mesh
 import needle_tpu.parallel.distributed as dist
 
 coord, pid, season = sys.argv[2], int(sys.argv[3]), sys.argv[4]
@@ -49,33 +56,37 @@ assert dist.process_count() == 2, dist.process_count()
 assert jax.process_index() == pid
 assert len(jax.devices()) == 2 * len(jax.local_devices())
 
+# per-process local mesh: the JAX engines shard their batched dispatches
+# over THIS process's 2 addressable devices
+mesh = local_mesh()
+assert mesh.devices.size == 2
+set_mesh(mesh)
+
 from pathlib import Path
 
 paths = sorted(Path(season).glob("*.wav"))
-mine = dist.local_shard(paths)
-assert 0 < len(mine) < len(paths)  # both processes got work
 
 hd = Duration.from_secs_f32(np.float32(0.3))
-Analyzer.from_files(mine, backend="numpy").run(hd, persist=True)
+analyzer = Analyzer.from_files(paths, backend="jax")
+local_fh = dist.distributed_analyze(analyzer, hd, persist=True)
+assert 0 < len(local_fh) < len(paths)  # both processes got work
 
-# Cross-process barrier (a real collective over the 2-process global device
-# set): no process may search before every shard's .dat files exist.
-from jax.experimental import multihost_utils
+# every process loads the union (persisted .dat files on the shared fs)
+fhs = [FrameHashes.from_path(frame_hash_data_path(p)) for p in paths]
 
-multihost_utils.sync_global_devices("needle-analyze-done")
-
-if dist.is_coordinator():
-    results = Comparator.from_files(paths, engine="numpy").run(
-        analyze=False, display=False, use_skip_files=False,
-        write_skip_files=True,
-    )
-    out = [
-        None
-        if r.opening is None
-        else [r.opening[0].as_secs_f64(), r.opening[1].as_secs_f64()]
-        for r in results
-    ]
-    Path(season, "RESULTS.json").write_text(json.dumps(out))
+# pair-sharded search with the JAX engine; infos all-gather across the
+# 2 processes; identical finalize everywhere
+cmp = Comparator.from_files(paths, engine="jax")
+results = dist.distributed_search(
+    cmp, fhs, display=False, use_skip_files=False, write_skip_files=True,
+)
+out = [
+    None
+    if r.opening is None
+    else [r.opening[0].as_secs_f64(), r.opening[1].as_secs_f64()]
+    for r in results
+]
+Path(season, f"RESULTS_{pid}.json").write_text(json.dumps(out))
 print(f"process {pid}: OK")
 """
 
@@ -130,8 +141,11 @@ def test_two_process_distributed_analyze_search(tmp_path):
 
     # every shard analyzed (4 .dat files from 2 processes, 2 each)
     assert len(list(season.glob("*.needle.dat"))) == 4
-    # the coordinator searched the UNION of both processes' shards
-    results = json.loads((season / "RESULTS.json").read_text())
-    assert len(results) == 4
-    assert any(r is not None for r in results)
+    # BOTH processes finalized the union of both pair shards, identically
+    r0 = json.loads((season / "RESULTS_0.json").read_text())
+    r1 = json.loads((season / "RESULTS_1.json").read_text())
+    assert r0 == r1
+    assert len(r0) == 4
+    assert any(r is not None for r in r0)
+    # skip files written once, by the coordinator only
     assert len(list(season.glob("*.needle.skip.json"))) >= 1
