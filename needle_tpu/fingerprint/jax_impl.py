@@ -158,7 +158,8 @@ def _window_np() -> np.ndarray:
 
 
 def _fingerprint_core_inline(
-    mono_f32, wc, ws, fold, W_cls, thresholds, n_frames, with_flags=False
+    mono_f32, wc, ws, fold, W_cls, thresholds, n_frames, with_flags=False,
+    with_values=False,
 ):
     frames = _frames_from_padded(mono_f32, n_frames)
     if _SPECTRAL == "fft":
@@ -171,30 +172,46 @@ def _fingerprint_core_inline(
         im = jnp.dot(frames, ws, precision=_PREC)
         energy = re * re + im * im
     chroma = jnp.dot(energy, fold, precision=_PREC)
-    return _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=with_flags)
+    return _post_chroma(
+        chroma, W_cls, thresholds, n_frames, with_flags=with_flags,
+        with_values=with_values,
+    )
 
 
 # Borderline margin for the bit-exact rescan: a device f32 classifier value
 # (or chroma norm) within this distance of a quantizer (or zeroing) threshold
-# is flagged and its subfingerprint recomputed with the host oracle. Measured
-# max |values_jax - values_oracle| is ~4e-7 on CPU (same order expected for
-# f32-HIGHEST MXU matmuls); 1e-5 gives a ~25x safety margin at a ~0.3% flag
-# rate. NEEDLE_TPU_EXACT=0 disables flagging+rescan; NEEDLE_TPU_EXACT_EPS
+# is flagged and its subfingerprint recomputed with the host oracle. The
+# margin must bound the TRUE device-vs-oracle value error, which is
+# backend-dependent (tools/hw_parity.py, measured r3): ~3.4e-7 on CPU f32
+# but up to 1.04e-4 on v5e — the MXU's f32-HIGHEST emulation does NOT
+# reproduce CPU f32 accumulation, so the old CPU-justified 1e-5 margin
+# could silently miss TPU borderlines (ADVICE r2 #3). Defaults are 10x+
+# over each backend's measured max. Flag rate is content-dependent
+# (measured at 1e-3: ~0% on music-like audio, ~26% on white noise — noise
+# concentrates classifier values near the trained thresholds).
+# NEEDLE_TPU_EXACT=0 disables flagging+rescan; NEEDLE_TPU_EXACT_EPS
 # overrides the margin.
 def _exact_eps() -> float:
-    return float(_os.environ.get("NEEDLE_TPU_EXACT_EPS", "1e-5"))
+    v = _os.environ.get("NEEDLE_TPU_EXACT_EPS")
+    if v is not None:
+        return float(v)
+    return 1e-5 if jax.default_backend() == "cpu" else 1e-3
 
 
 def _exact_enabled() -> bool:
     return _os.environ.get("NEEDLE_TPU_EXACT", "1") not in ("0", "")
 
 
-def _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=False):
+def _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=False,
+                 with_values=False):
     """Chroma filter -> normalize -> classifiers -> gray-coded u32 packing.
 
     With with_flags=True also returns a per-subfingerprint bool marking
     hashes whose quantization is within float noise of a threshold (rescan
-    candidates for the bit-exact host pass)."""
+    candidates for the bit-exact host pass). With with_values=True returns
+    (values (n_sub, 16), chroma norms (n_filt,)) INSTEAD of hashes — the
+    pre-quantization intermediates, for the on-hardware EXACT_EPS margin
+    validation (tools/hw_parity.py)."""
     n_filt = n_frames - (len(CHROMA_FILTER_COEFFS) - 1)
     filtered = jnp.zeros((n_filt, NUM_BANDS), jnp.float32)
     for k_i, coeff in enumerate(CHROMA_FILTER_COEFFS):
@@ -210,6 +227,8 @@ def _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=False):
     ab = jnp.dot(windows, W_cls, precision=_PREC)
     a, b = ab[:, 0::2], ab[:, 1::2]
     values = jnp.log((1.0 + a) / (1.0 + b))
+    if with_values:
+        return values, norm[:, 0]
     q = (
         (values >= thresholds[None, :, 0]).astype(jnp.uint32)
         + (values >= thresholds[None, :, 1]).astype(jnp.uint32)
@@ -232,6 +251,34 @@ def _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=False):
     for k in range(1, MAX_FILTER_WIDTH):
         flag_norm_w = flag_norm_w | flag_norm[k : k + n_sub]
     return hashes, flag_val | flag_norm_w
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _values_single(mono_i16, wc, ws, fold, W_cls, thresholds, n_frames):
+    return _fingerprint_core_inline(
+        mono_i16.astype(jnp.float32), wc, ws, fold, W_cls, thresholds,
+        n_frames, with_values=True,
+    )
+
+
+def classifier_values_jax(mono_i16: np.ndarray):
+    """Validation entry point: the pre-quantization classifier value matrix
+    (n_sub, 16) and per-frame chroma norms of one mono 11025 Hz segment,
+    computed on the default JAX backend with the SAME program structure as
+    the production pipeline. tools/hw_parity.py compares these against the
+    float64 NumPy oracle ON HARDWARE to validate the NEEDLE_TPU_EXACT_EPS
+    borderline margin (ADVICE r2: the 1e-5 margin was justified by a CPU
+    measurement only)."""
+    mono = np.asarray(mono_i16, dtype=np.int16)
+    nf = num_frames(len(mono))
+    if nf <= 0:
+        return np.zeros((0, 16), np.float32), np.zeros((0,), np.float32)
+    tables = _device_tables()
+    pad_len = (nf + _ROWS_PER_FRAME + 1) * HOP_SIZE
+    buf = np.zeros(pad_len, np.int16)
+    buf[: min(len(mono), pad_len)] = mono[:pad_len]
+    values, norms = _values_single(buf, *tables, nf)
+    return np.asarray(values), np.asarray(norms)
 
 
 # ---------------------------------------------------------------------------
