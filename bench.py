@@ -110,9 +110,12 @@ def pick_decimation_placement():
         host_decimate(probe, RATE, 1)
         samples.append(time.perf_counter() - t0)
     fir_probe_s = sorted(samples)[1]  # median of 3
-    fir_s_per_ep = fir_probe_s / 4.0 * EPISODE_SECS * 0.75
+    # opening (75%) + ending (25%) windows together cover the full episode
+    # duration; both the FIR and the uploads process exactly those windows
+    # (r2's 0.75 factor under-counted the ending leg by 25%).
+    fir_s_per_ep = fir_probe_s / 4.0 * EPISODE_SECS
     fir_total = fir_s_per_ep * NUM_EPISODES
-    upload_mb = NUM_EPISODES * EPISODE_SECS * 0.75 * RATE * 2 / 1e6
+    upload_mb = NUM_EPISODES * EPISODE_SECS * RATE * 2 / 1e6
     # The FIR runs in decode-pool threads with the GIL released, so it
     # overlaps the uploads: host wall ~= max(upload/2, FIR) vs device
     # wall ~= full upload. Host wins whenever the FIR beats the FULL

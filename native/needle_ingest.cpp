@@ -268,6 +268,44 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
         double timestamp_ms = seek_to_secs * 1000.0;
         double min_ms = timestamp_ms - 1000.0;
         double max_ms = timestamp_ms + 1000.0;
+        // NEEDLE_TPU_SEEK_COMPAT=ref replicates the reference's seek
+        // arithmetic bug-for-bug (audio/util.rs:18-41): duration and seek
+        // targets computed as ms / stream-time_base, which is correct only
+        // for 1/1000 time bases (Matroska) and lands at the wrong media
+        // time otherwise (e.g. MP4 at 1/44100). Use it when ending-window
+        // hashes must byte-match .needle.dat files produced by the
+        // reference binary on such containers (README interop caveats).
+        const char *compat_env = getenv("NEEDLE_TPU_SEEK_COMPAT");
+        const bool ref_compat =
+            compat_env && (strcmp(compat_env, "ref") == 0 ||
+                           strcmp(compat_env, "1") == 0);
+        if (ref_compat) {
+            // duration = from_millis((ctx.duration * stream_tb) as u64)
+            double ref_duration_ms = std::floor((double)ctx->duration * time_base);
+            if (!(max_ms < ref_duration_ms)) {
+                // The reference asserts; we return a distinct error.
+                avcodec_free_context(&dec);
+                avformat_close_input(&ctx);
+                set_err(err, errcap,
+                        "timestamp must be less than the stream duration");
+                return -2;
+            }
+            // targets = ms / stream_tb (NOT AV_TIME_BASE); no keyframe
+            // fallback — the reference surfaces the raw seek error.
+            int64_t ts = (int64_t)(timestamp_ms / time_base);
+            int64_t min_ts = (int64_t)(min_ms / time_base);
+            if (min_ts < 0) min_ts = 0;  // (reference panics for <1s seeks)
+            int64_t max_ts = (int64_t)(max_ms / time_base);
+            ret = avformat_seek_file(ctx, -1, min_ts, ts, max_ts, 0);
+            if (ret < 0) {
+                avcodec_free_context(&dec);
+                avformat_close_input(&ctx);
+                set_err(err, errcap, "seek failed: " + av_err_str(ret));
+                return -1;
+            }
+            goto seek_done;
+        }
+        {
         // AVFormatContext.duration is in AV_TIME_BASE (microsecond) units,
         // NOT the stream time_base.
         double format_duration_ms = (double)ctx->duration / 1000.0;
@@ -288,7 +326,7 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
         // 1/44100) the reference lands at the wrong media time, so ending-
         // window hashes can differ from reference output there. This fixes
         // a reference bug at the cost of bug-for-bug output compatibility
-        // for such containers.
+        // for such containers (opt back in: NEEDLE_TPU_SEEK_COMPAT above).
         int64_t ts = (int64_t)(timestamp_ms * 1000.0);
         int64_t min_ts = (int64_t)(min_ms * 1000.0);
         if (min_ts < 0) min_ts = 0;
@@ -311,6 +349,8 @@ int ni_decode_audio(const char *path, double seek_to_secs, double duration_limit
             set_err(err, errcap, "seek failed: " + av_err_str(ret));
             return -1;
         }
+        }
+    seek_done:;
     }
 
     // End timestamp in stream tb units (analyzer.rs:196-199).
@@ -580,21 +620,79 @@ int ni_decimate2_hb(const int16_t *in, int64_t n_samples, int channels,
         int32_t v = (int32_t)((acc + 8192) >> 14);
         out[k * channels + c] = (int16_t)std::min(32767, std::max(-32768, v));
     };
+    // Interior fast path: deinterleave even/odd samples per channel so
+    // every tap access is unit-stride. The natural stride-2 form defeats
+    // auto-vectorization (gathers), and this FIR was measured as the
+    // analyze bottleneck on the 1-core host (~11 s CPU per 28-episode
+    // season at r3, dominating a 14 s analyze wall). In the deinterleaved
+    // view y[k] = c0*even[k] + sum_m q[m]*(odd[k-m-1] + odd[k+m]) — every
+    // inner loop below is a unit-stride int32 MAC the compiler vectorizes.
+    // Index bounds: k-m-1 >= k_lo - n_odd = 0 and k+m <= k_hi-1+n_odd-1
+    // < frames/2, so no branches are needed in the interior.
+    const int64_t half = frames / 2;
+    int16_t *deint = nullptr;
+    if (k_hi > k_lo)
+        deint = (int16_t *)malloc(
+            (size_t)std::max<int64_t>(half, 1) * 2 * sizeof(int16_t));
     for (int c = 0; c < channels; c++) {
         for (int64_t k = 0; k < k_lo; k++) edge(k, c);
-        for (int64_t k = k_lo; k < k_hi; k++) {
-            const int16_t *ctr = in + 2 * k * channels + c;
-            int32_t acc = center_q14 * (int32_t)ctr[0];
-            for (int m = 0; m < n_odd; m++) {
-                const int64_t d = (int64_t)(2 * m + 1) * channels;
-                acc += odd_taps[m] * ((int32_t)ctr[-d] + (int32_t)ctr[d]);
+        if (k_hi > k_lo && deint) {
+            int16_t *ev = deint, *od = deint + half;
+            if (channels == 1) {
+                for (int64_t t = 0; t < half; t++) {
+                    ev[t] = in[2 * t];
+                    od[t] = in[2 * t + 1];
+                }
+            } else {
+                for (int64_t t = 0; t < half; t++) {
+                    ev[t] = in[(2 * t) * channels + c];
+                    od[t] = in[(2 * t + 1) * channels + c];
+                }
             }
-            int32_t v = (acc + 8192) >> 14;
-            out[k * channels + c] =
-                (int16_t)std::min(32767, std::max(-32768, v));
+            constexpr int64_t BLK = 8192;
+            int32_t acc[BLK];
+            for (int64_t k0 = k_lo; k0 < k_hi; k0 += BLK) {
+                const int64_t n = std::min<int64_t>(BLK, k_hi - k0);
+                const int16_t *e0 = ev + k0;
+                for (int64_t i = 0; i < n; i++)
+                    acc[i] = center_q14 * (int32_t)e0[i];
+                for (int m = 0; m < n_odd; m++) {
+                    const int32_t q = odd_taps[m];
+                    const int16_t *pa = od + k0 - m - 1;
+                    const int16_t *pb = od + k0 + m;
+                    for (int64_t i = 0; i < n; i++)
+                        acc[i] += q * ((int32_t)pa[i] + (int32_t)pb[i]);
+                }
+                if (channels == 1) {
+                    int16_t *op = out + k0;
+                    for (int64_t i = 0; i < n; i++) {
+                        int32_t v = (acc[i] + 8192) >> 14;
+                        op[i] = (int16_t)std::min(32767, std::max(-32768, v));
+                    }
+                } else {
+                    for (int64_t i = 0; i < n; i++) {
+                        int32_t v = (acc[i] + 8192) >> 14;
+                        out[(k0 + i) * channels + c] =
+                            (int16_t)std::min(32767, std::max(-32768, v));
+                    }
+                }
+            }
+        } else {
+            for (int64_t k = k_lo; k < k_hi; k++) {
+                const int16_t *ctr = in + 2 * k * channels + c;
+                int32_t acc1 = center_q14 * (int32_t)ctr[0];
+                for (int m = 0; m < n_odd; m++) {
+                    const int64_t d = (int64_t)(2 * m + 1) * channels;
+                    acc1 += odd_taps[m] * ((int32_t)ctr[-d] + (int32_t)ctr[d]);
+                }
+                int32_t v = (acc1 + 8192) >> 14;
+                out[k * channels + c] =
+                    (int16_t)std::min(32767, std::max(-32768, v));
+            }
         }
         for (int64_t k = k_hi; k < out_frames; k++) edge(k, c);
     }
+    free(deint);
     *out_samples = out;
     *out_n = out_frames * channels;
     return 0;

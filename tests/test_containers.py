@@ -134,6 +134,22 @@ def test_mkv_seek_window(tmp_path, rng):
     np.testing.assert_array_equal(mono[off : off + len(left)], left)
 
 
+def test_seek_compat_mode_mkv_identical(tmp_path, rng, monkeypatch):
+    """NEEDLE_TPU_SEEK_COMPAT=ref (bug-for-bug reference seek arithmetic,
+    audio/util.rs:18-41) must be byte-identical to the default physical
+    seek on Matroska's 1/1000 time base — the one case where the
+    reference's ms/time_base math IS physically correct."""
+    rate = 11025
+    mono = _tone_ramp(rng, rate * 100, rate)
+    p = tmp_path / "compat.mkv"
+    ingest.write_media(p, np.repeat(mono, 2), rate, 2, codec="pcm_s16le")
+
+    default, _ = ingest.decode_audio(p, seek_to_secs=75.0, sample_rate=rate)
+    monkeypatch.setenv("NEEDLE_TPU_SEEK_COMPAT", "ref")
+    compat, _ = ingest.decode_audio(p, seek_to_secs=75.0, sample_rate=rate)
+    np.testing.assert_array_equal(default, compat)
+
+
 def test_seek_past_end_mkv(tmp_path, rng):
     rate = 11025
     p = tmp_path / "short.mkv"
