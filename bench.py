@@ -155,6 +155,9 @@ _STAGE_KEYS = (
     "search.launch",
     "search.collect",
     "search.extract",
+    # counts, not seconds — extraction workload diagnostics
+    "search.extract_diags",
+    "search.extract_host_fallback",
 )
 
 

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 D_TILE = 512
-G_TILES = 8  # diagonal tiles per grid step (sublane dimension)
+G_TILES = 8  # default diagonal tiles per grid step (sublane dimension)
 
 
 def _popcount(x):
@@ -55,6 +55,7 @@ def _popcount(x):
 
 def _kernel(
     n_pad,  # true (unpadded-to-rows) sequence bucket, bound via partial
+    g_tiles,  # diagonal tiles per grid step (8 or 16), bound via partial
     nv_ref, mv_ref, lm_ref, thr_ref,  # scalar prefetch: (chunk,) i32 each
     src_hbm, dst_hbm,  # ANY: (chunk, n_rows, 512) u32 each (row-aligned)
     counts_ref,  # VMEM out block: (1, n_tiles_pad, D_TILE) i32
@@ -63,8 +64,8 @@ def _kernel(
     p = pl.program_id(0)
     g = pl.program_id(1)
     # group g covers diagonal offsets [g*8*512, g*8*512 + 8*512) shifted
-    # by -(n_pad-1); sublane k within the group is tile g*8 + k
-    d0 = g * (G_TILES * D_TILE) - (n_pad - 1)
+    # by -(n_pad-1); sublane k within the group is tile g*g_tiles + k
+    d0 = g * (g_tiles * D_TILE) - (n_pad - 1)
     nv = nv_ref[p]
     mv = mv_ref[p]
     l_min = jnp.maximum(lm_ref[p], 1)
@@ -97,8 +98,8 @@ def _kernel(
         cp_src.wait()
         cp_dst.wait()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (G_TILES, D_TILE), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (G_TILES, D_TILE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_tiles, D_TILE), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (g_tiles, D_TILE), 0)
     # diagonal offset per (sub, lane) cell relative to row i
     off = d0 + sub * D_TILE + lane
 
@@ -112,50 +113,76 @@ def _kernel(
     # walk is two (8,512) lane-rolls + select + popcount + run update per
     # row. Rows i < 0 / i >= n_pad at the edges fail the validity mask
     # (S = 0), preserving the exact sequential run semantics.
+    # Useful-row bounds for THIS (pair, group): a row i can only produce
+    # S=1 if i ∈ [1, nv) and some lane's j = i + off hits [1, mv), i.e.
+    # i ≥ 1 - off_max and i < mv - off_min. Off-center groups need only a
+    # fraction of the blocks (for n=2400 in the 2560 bucket the second
+    # group needs 2 of 6), and nv < n_pad trims the tail for every group —
+    # 42% of all row-block work on the search1000 shape. Out-of-range
+    # blocks are SKIPPED inside a statically-bounded loop (a dynamic
+    # fori_loop trip count turned the outer loop into an scf.while whose
+    # per-iteration overhead ate the entire win; the cond inside a static
+    # loop keeps Mosaic's unrolling). Skipping preserves exactness: the
+    # skipped rows are all S=0, the carry passes through unchanged, and a
+    # run live at the truncated tail is closed by the same final-edge
+    # accounting below that the full walk used.
+    off_min = d0
+    off_max = d0 + g_tiles * D_TILE - 1
+    i_lo = jnp.maximum(1, 1 - off_max)
+    i_hi = jnp.minimum(nv - 1, mv - 1 - off_min)  # inclusive
+    n_blocks = n_pad // D_TILE + 1
+    b_lo = jnp.clip((i_lo + 1) // D_TILE, 0, n_blocks)
+    b_hi = jnp.clip((i_hi + 1) // D_TILE + 1, b_lo, n_blocks)
+
     def blk(b, carry):
-        prev_S, prev_run, cand = carry
-        i0 = b * D_TILE - 1
-        s0 = i0 + d0 + left  # a D_TILE multiple (see above)
-        q = s0 // D_TILE
-        base16 = (q // 16) * 16
-        rows32 = dst2d[pl.ds(base16, 32), :]
-        rp = pltpu.roll(rows32, base16 - q, 0)  # row 0 = dst2d[q]
-        A = rp[0:G_TILES, :].astype(jnp.int32)
-        B = pltpu.roll(rp, 31, 0)[0:G_TILES, :].astype(jnp.int32)  # rp shifted by -1
+        def run_blk(carry):
+            prev_S, prev_run, cand = carry
+            i0 = b * D_TILE - 1
+            s0 = i0 + d0 + left  # a D_TILE multiple (see above)
+            q = s0 // D_TILE
+            base16 = (q // 16) * 16
+            rows32 = dst2d[pl.ds(base16, 32), :]
+            rp = pltpu.roll(rows32, base16 - q, 0)  # row 0 = dst2d[q]
+            A = rp[0:g_tiles, :].astype(jnp.int32)
+            B = pltpu.roll(rp, 31, 0)[0:g_tiles, :].astype(jnp.int32)  # rp shifted by -1
 
-        def rows8(rr, carry2):
-            # 8-row unroll amortizes the scf.for per-iteration overhead
-            prev_S, prev_run, cand = carry2
-            for u in range(8):
-                r = rr * 8 + u
-                i = i0 + r
-                i_c = jnp.clip(i, 0, n_pad - 1)
-                j = i + off
-                rot_a = pltpu.roll(A, -r, 1)
-                rot_b = pltpu.roll(B, -r, 1)
-                dst_blk = jnp.where(lane < (D_TILE - r), rot_a, rot_b).astype(
-                    jnp.uint32
-                )
-                src_i = src_sm[i_c // D_TILE, i_c % D_TILE]
-                valid = (i >= 1) & (i < nv) & (j >= 1) & (j < mv)
-                S = ((_popcount(src_i ^ dst_blk) <= thr) & valid).astype(
-                    jnp.int32
-                )
-                ends_prev = (prev_S == 1) & (S == 0)
-                cand = cand + jnp.where(
-                    ends_prev & (prev_run >= l_min), 1, 0
-                )
-                prev_run = jnp.where(S == 1, prev_run * prev_S + 1, 0)
-                prev_S = S
-            return prev_S, prev_run, cand
+            def rows8(rr, carry2):
+                # 8-row unroll amortizes the scf.for per-iteration overhead
+                prev_S, prev_run, cand = carry2
+                for u in range(8):
+                    r = rr * 8 + u
+                    i = i0 + r
+                    i_c = jnp.clip(i, 0, n_pad - 1)
+                    j = i + off
+                    rot_a = pltpu.roll(A, -r, 1)
+                    rot_b = pltpu.roll(B, -r, 1)
+                    dst_blk = jnp.where(
+                        lane < (D_TILE - r), rot_a, rot_b
+                    ).astype(jnp.uint32)
+                    src_i = src_sm[i_c // D_TILE, i_c % D_TILE]
+                    valid = (i >= 1) & (i < nv) & (j >= 1) & (j < mv)
+                    S = ((_popcount(src_i ^ dst_blk) <= thr) & valid).astype(
+                        jnp.int32
+                    )
+                    ends_prev = (prev_S == 1) & (S == 0)
+                    cand = cand + jnp.where(
+                        ends_prev & (prev_run >= l_min), 1, 0
+                    )
+                    prev_run = jnp.where(S == 1, prev_run * prev_S + 1, 0)
+                    prev_S = S
+                return prev_S, prev_run, cand
 
-        return jax.lax.fori_loop(
-            0, D_TILE // 8, rows8, (prev_S, prev_run, cand)
+            return jax.lax.fori_loop(
+                0, D_TILE // 8, rows8, carry
+            )
+
+        return jax.lax.cond(
+            (b >= b_lo) & (b < b_hi), run_blk, lambda c: c, carry
         )
 
-    zero_i = jnp.zeros((G_TILES, D_TILE), jnp.int32)
+    zero_i = jnp.zeros((g_tiles, D_TILE), jnp.int32)
     prev_S, prev_run, cand = jax.lax.fori_loop(
-        0, n_pad // D_TILE + 1, blk, (zero_i, zero_i, zero_i)
+        0, n_blocks, blk, (zero_i, zero_i, zero_i)
     )
     # the final row's live runs end at the array edge
     cand = cand + jnp.where((prev_S == 1) & (prev_run >= l_min), 1, 0)
@@ -167,16 +194,16 @@ def _kernel(
     # rotation non-overlapping)
     prev = jnp.where(g == 0, 0, counts_ref[...])
     n_tiles_pad = counts_ref.shape[1]
-    if n_tiles_pad == G_TILES:
+    if n_tiles_pad == g_tiles:
         # single group: no placement needed (and a zero-row pad block is
         # not a legal Mosaic vector type)
         placed = cand
     else:
         padded = jnp.concatenate(
-            [cand, jnp.zeros((n_tiles_pad - G_TILES, D_TILE), jnp.int32)],
+            [cand, jnp.zeros((n_tiles_pad - g_tiles, D_TILE), jnp.int32)],
             axis=0,
         )
-        placed = pltpu.roll(padded, g * G_TILES, 0)
+        placed = pltpu.roll(padded, g * g_tiles, 0)
     counts_ref[...] = prev + placed[None, :, :]
 
 
@@ -192,8 +219,17 @@ def batch_counts_pallas(
     assert n_pad % D_TILE == 0, "pallas search requires n_pad % 512 == 0"
     chunk = src_b.shape[0]
     n_tiles = -(-(2 * n_pad - 1) // D_TILE)
-    n_groups = -(-n_tiles // G_TILES)
-    n_tiles_pad = n_groups * G_TILES
+    # Group width: (16, 512) blocks were tried for big shapes (halving the
+    # grid-program count; the 32-row staged window serves either width)
+    # but measured ~17% SLOWER than 8 in an interleaved A/B on v5e
+    # (245 vs 290 ms per 512-pair chunk at n_pad=2560, r3) — the wider
+    # rolls/selects don't pipeline as well. 8 stays the default;
+    # NEEDLE_TPU_SEARCH_GTILES overrides for future hardware.
+    import os as _os
+
+    g_tiles = int(_os.environ.get("NEEDLE_TPU_SEARCH_GTILES", "0")) or G_TILES
+    n_groups = -(-n_tiles // g_tiles)
+    n_tiles_pad = n_groups * g_tiles
     # src/dst reshaped to aligned rows: slicing one pair out of a 2-D
     # tiled HBM array for the DMA violates (8,128) tiling, but a dim-0
     # slice of a 3-D array keeps the tiled trailing dims whole
@@ -226,7 +262,7 @@ def batch_counts_pallas(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_pad),
+        functools.partial(_kernel, n_pad, g_tiles),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (chunk, n_tiles_pad, D_TILE), jnp.int32

@@ -31,6 +31,44 @@ def test_pallas_counts_match_oracle(rng):
             assert expect == out[r, d], (r, o, expect, out[r, d])
 
 
+def test_pallas_wide_groups_2560_match_oracle(rng):
+    """n_pad=2560 selects the 16-wide group path (n_tiles=10 > 8) and the
+    block-skip bounds; both must stay exact, including nv/mv < n_pad."""
+    n_pad, chunk = 2560, 2
+    shared = rng.integers(0, 2**32, size=60, dtype=np.uint32)
+    src = rng.integers(0, 2**32, size=(chunk, n_pad), dtype=np.uint32)
+    dst = rng.integers(0, 2**32, size=(chunk, n_pad), dtype=np.uint32)
+    nv = np.array([2400, 2560], np.int32)
+    mv = np.array([2300, 2560], np.int32)
+    for r in range(chunk):
+        src[r, 100:160] = shared
+        dst[r, 2000:2060] = shared
+        src[r, 2200:2260] = shared
+        dst[r, 30:90] = shared
+    lm = np.array([5, 3], np.int32)
+    thr = np.array([8, 8], np.int32)
+    out = np.asarray(
+        batch_counts_pallas(nv, mv, lm, thr, src, dst, n_pad, interpret=True)
+    )
+    assert out.shape == (chunk, 5120)
+    for r in range(chunk):
+        nz = np.nonzero(out[r])[0]
+        for d in nz:  # spot-check every flagged diagonal + a sample of zeros
+            o = int(d) - (n_pad - 1)
+            cands = _diag_candidates(
+                src[r][: nv[r]], dst[r][: mv[r]], o, int(thr[r])
+            )
+            expect = sum(1 for (_, _, L) in cands if L >= lm[r])
+            assert expect == out[r, d], (r, o)
+        for d in rng.integers(0, out.shape[1], size=64):
+            o = int(d) - (n_pad - 1)
+            cands = _diag_candidates(
+                src[r][: nv[r]], dst[r][: mv[r]], o, int(thr[r])
+            )
+            expect = sum(1 for (_, _, L) in cands if L >= lm[r])
+            assert expect == out[r, d], (r, o)
+
+
 def test_engine_with_pallas_kernel_matches_numpy(rng, monkeypatch):
     """Full search engine with the pallas kernel forced (interpret on CPU)
     must match the reference-exact numpy engine."""
