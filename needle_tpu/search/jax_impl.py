@@ -267,19 +267,31 @@ def _batch_extract_candidates(
         vs, vd = vtab[ia], vtab[ib]
         idx = jnp.arange(n_pad, dtype=jnp.int32)
         j = idx + off
-        jc = jnp.clip(j, 0, n_pad - 1)
-        S = (
-            (_popcount_u32_jnp(hs ^ hd[jc]) <= threshold)
-            & vs
-            & vd[jc]
-            & (j == jc)
+        # The diagonal read hd[idx + off] is a SHIFTED SLICE, not a general
+        # gather: zero-pad and dynamic_slice at n_pad + off. The gather
+        # formulation scalarized on TPU and was the ENTIRE extract-stage
+        # cost (isolated r3: 242 ms/dispatch with the gather alone vs the
+        # full scan pipeline at the same 242 ms). Out-of-range j reads the
+        # zero padding, whose False validity reproduces the old
+        # vd[jc] & (j == jc) masking exactly.
+        hdp = jnp.concatenate(
+            [jnp.zeros(n_pad, jnp.uint32), hd, jnp.zeros(n_pad, jnp.uint32)]
         )
+        vdp = jnp.concatenate(
+            [jnp.zeros(n_pad, bool), vd, jnp.zeros(n_pad, bool)]
+        )
+        hd_s = jax.lax.dynamic_slice(hdp, (n_pad + off,), (n_pad,))
+        vd_s = jax.lax.dynamic_slice(vdp, (n_pad + off,), (n_pad,))
+        S = (_popcount_u32_jnp(hs ^ hd_s) <= threshold) & vs & vd_s
         c = jnp.cumsum(S.astype(jnp.int32))
         z = jnp.where(S, 0, c)
         run = c - jax.lax.cummax(z)
         S_next = jnp.concatenate([S[1:], jnp.zeros(1, bool)])
         ends = S & ~S_next & (run >= jnp.maximum(lm, 1))
         score = jnp.where(ends, idx + 1, 0)
+        # (measured r3: replacing top_k with 8 iterative argmax passes did
+        # NOT move the extract stage — its cost is the cumsum/cummax run
+        # scan above, not the top-k sort)
         top_vals = jax.lax.top_k(score, K_CANDS)[0]
         end_i = top_vals - 1  # -1 = unused slot
         runs = jnp.where(
@@ -457,8 +469,10 @@ class JaxSearchEngine:
         if kernel == "pallas":
             # the pallas kernel keeps per-pair state in VMEM scratch; the
             # only per-chunk device memory is the gathered hash rows, so
-            # large chunks amortize dispatch overhead
-            chunk = 512
+            # large chunks amortize dispatch overhead (interleaved A/B r3:
+            # 1024 ~6% faster per pair than 512; 2048 untested-win but
+            # doubles gather memory — revisit if dispatch counts grow)
+            chunk = 1024
         else:
             per_pair_bytes = n_pad * D_TILE * 12 * 4  # live tiles per pair
             chunk = max(1, min(128, self.mem_budget // max(per_pair_bytes, 1)))
