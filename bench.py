@@ -154,6 +154,8 @@ _STAGE_KEYS = (
     "search.pairs",
     "search.launch",
     "search.collect",
+    "search.collect_device",
+    "search.collect_unpack",
     "search.extract",
     # counts, not seconds — extraction workload diagnostics
     "search.extract_diags",

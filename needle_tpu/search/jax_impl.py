@@ -563,10 +563,19 @@ class JaxSearchEngine:
         # Coalesce chunk outputs on device and download ONE u8 count matrix
         # — tunneled transports charge per round trip, so per-chunk
         # downloads dominate wall time for large pair counts.
+        import time as _time
+
+        from ..tracing import metrics as _metrics
+
+        _t0 = _time.perf_counter()
         if len(launched) > 1:
             counts_all = np.asarray(jnp.concatenate([o for _, o in launched]))
         else:
             counts_all = np.asarray(launched[0][1])
+        _metrics.record(
+            "search.collect_device", _time.perf_counter() - _t0
+        )  # device execute + concat + d2h of the coalesced bitmask
+        _t0 = _time.perf_counter()
         row0 = 0
         items: List[Tuple[int, int, int, int]] = []  # (p_idx, a, b, offset)
         for batch, out in launched:
@@ -579,6 +588,7 @@ class JaxSearchEngine:
                 hit = np.flatnonzero(np.unpackbits(counts[r], bitorder="little"))
                 for pos in hit:
                     items.append((p_idx, a, b, int(pos) + d_base))
+        _metrics.record("search.collect_unpack", _time.perf_counter() - _t0)
         self._extract_candidates(
             items, sides, pair_cands, pair_lm, ep_slot,
             table_d, vtab_d, threshold, n_pad,
