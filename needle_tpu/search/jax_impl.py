@@ -584,10 +584,14 @@ class JaxSearchEngine:
             # count or every later chunk reads misaligned rows.
             counts = counts_all[row0 : row0 + out.shape[0]]
             row0 += out.shape[0]
-            for r, (p_idx, a, b) in enumerate(batch):
-                hit = np.flatnonzero(np.unpackbits(counts[r], bitorder="little"))
-                for pos in hit:
-                    items.append((p_idx, a, b, int(pos) + d_base))
+            # vectorized bit-unpack over the whole chunk (a per-row
+            # unpackbits loop cost ~9 s at 500k pairs)
+            bits = np.unpackbits(
+                counts[: len(batch)], axis=1, bitorder="little"
+            )
+            for r, pos in zip(*np.nonzero(bits)):
+                p_idx, a, b = batch[r]
+                items.append((p_idx, a, b, int(pos) + d_base))
         _metrics.record("search.collect_unpack", _time.perf_counter() - _t0)
         self._extract_candidates(
             items, sides, pair_cands, pair_lm, ep_slot,
