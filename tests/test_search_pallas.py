@@ -31,9 +31,16 @@ def test_pallas_counts_match_oracle(rng):
             assert expect == out[r, d], (r, o, expect, out[r, d])
 
 
-def test_pallas_wide_groups_2560_match_oracle(rng):
-    """n_pad=2560 selects the 16-wide group path (n_tiles=10 > 8) and the
-    block-skip bounds; both must stay exact, including nv/mv < n_pad."""
+import pytest
+
+
+@pytest.mark.parametrize("g_tiles", [8, 16])
+def test_pallas_wide_groups_2560_match_oracle(rng, monkeypatch, g_tiles):
+    """n_pad=2560 exercises multi-group placement and the block-skip
+    bounds at both group widths (16 is the NEEDLE_TPU_SEARCH_GTILES
+    alternative kept for future hardware); both must stay exact,
+    including nv/mv < n_pad."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_GTILES", str(g_tiles))
     n_pad, chunk = 2560, 2
     shared = rng.integers(0, 2**32, size=60, dtype=np.uint32)
     src = rng.integers(0, 2**32, size=(chunk, n_pad), dtype=np.uint32)
