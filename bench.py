@@ -38,7 +38,11 @@ OPENING_SECS = 85.0
 ENDING_SECS = 70.0
 RATE = 16000
 SEED = 20260816
-TRIALS = int(os.environ.get("NEEDLE_BENCH_TRIALS", "3"))
+# 5 trials by default: the tunneled transport warms ACROSS trials (r3
+# measured 44.9/25.4/16.5 s consecutive analyze trials still descending at
+# 3), so min-over-trials needs chances; the >120 s first-trial early break
+# below still bounds the worst-case era.
+TRIALS = int(os.environ.get("NEEDLE_BENCH_TRIALS", "5"))
 
 CACHE = REPO / ".bench_cache" / (
     f"season{NUM_EPISODES}_{int(EPISODE_SECS)}s_r{RATE}_s{SEED}_v2"

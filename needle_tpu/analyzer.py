@@ -545,7 +545,16 @@ class Analyzer:
 
         with span("analyze.decode", videos=len(videos)):
             if threading and len(videos) > 1:
-                with ThreadPoolExecutor(max_workers=4) as pool:
+                # Sized to the host: prepare() is CPU-bound (decode + FIR),
+                # so workers beyond the core count only add context-switch
+                # and cache-thrash overhead on small hosts (this rig has 1
+                # core; 4 fixed workers inflated per-thread span walls 6x).
+                # Uploads still overlap: consume() dispatches async
+                # device_puts on the main thread between pool yields.
+                import os as _os
+
+                workers = max(1, min(4, _os.cpu_count() or 4))
+                with ThreadPoolExecutor(max_workers=workers) as pool:
                     for vi, item in enumerate(pool.map(prepare, videos)):
                         consume(vi, item)
             else:
