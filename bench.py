@@ -114,12 +114,18 @@ def pick_decimation_placement():
         host_decimate(probe, RATE, 1)
         samples.append(time.perf_counter() - t0)
     fir_probe_s = sorted(samples)[1]  # median of 3
-    # opening (75%) + ending (25%) windows together cover the full episode
-    # duration; both the FIR and the uploads process exactly those windows
-    # (r2's 0.75 factor under-counted the ending leg by 25%).
-    fir_s_per_ep = fir_probe_s / 4.0 * EPISODE_SECS
+    # Both the FIR and the uploads process exactly the analyzed windows:
+    # opening + ending search percentages of each episode (0.50 + 0.25
+    # by default — derive from constants, not a hardcoded guess).
+    from needle_tpu import constants as C
+
+    window_frac = (
+        C.DEFAULT_OPENING_SEARCH_PERCENTAGE
+        + C.DEFAULT_ENDING_SEARCH_PERCENTAGE
+    )
+    fir_s_per_ep = fir_probe_s / 4.0 * EPISODE_SECS * window_frac
     fir_total = fir_s_per_ep * NUM_EPISODES
-    upload_mb = NUM_EPISODES * EPISODE_SECS * RATE * 2 / 1e6
+    upload_mb = NUM_EPISODES * EPISODE_SECS * window_frac * RATE * 2 / 1e6
     # The FIR runs in decode-pool threads with the GIL released, so it
     # overlaps the uploads: host wall ~= max(upload/2, FIR) vs device
     # wall ~= full upload. Host wins whenever the FIR beats the FULL
@@ -261,7 +267,7 @@ def search_only_config(n_eps: int) -> None:
     )
     times, trial_stages = [], []
     results = None
-    for _ in range(max(1, TRIALS)):
+    for trial in range(max(1, TRIALS)):
         snap0 = _stage_snapshot()
         t0 = time.time()
         results = cmp.run_with_frame_hashes(
@@ -269,6 +275,10 @@ def search_only_config(n_eps: int) -> None:
         )
         times.append(time.time() - t0)
         trial_stages.append(_stage_delta(snap0, _stage_snapshot()))
+        # same slow-era guard as main(): a retrial on a crawling transport
+        # would risk the caller's timeout
+        if trial == 0 and times[0] > 300.0:
+            break
     from needle_tpu.tracing import report_metrics
 
     report_metrics()  # set NEEDLE_TPU_TIMINGS=1 for the stage table
@@ -328,13 +338,16 @@ def small3_config() -> None:
     warm_device()
     times_a, times_s = [], []
     results = None
-    for _ in range(max(1, TRIALS)):
+    for trial in range(max(1, TRIALS)):
         t0 = time.time()
         run_analyze(paths, hash_duration)
         times_a.append(time.time() - t0)
         t0 = time.time()
         results = run_search(paths)
         times_s.append(time.time() - t0)
+        # same slow-era guard as main()
+        if trial == 0 and times_a[0] + times_s[0] > 120.0:
+            break
     total = min(times_a) + min(times_s)
     acc = accuracy(results, paths, truths["opening"], truths["ending"])
     print(

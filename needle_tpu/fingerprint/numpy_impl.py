@@ -143,6 +143,29 @@ def classify(normalized: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(g << shifts, axis=1).astype(np.uint32)
 
 
+def classifier_values_oracle(mono_i16: np.ndarray):
+    """Float64-oracle pre-quantization intermediates: the classifier value
+    matrix (n_sub, 16) and per-frame chroma norms (n_filt,). The
+    validation counterpart of jax_impl.classifier_values_jax — one source
+    of truth for the derivation (tools/hw_parity.py and
+    tests/test_jax_engines.py both compare against this)."""
+    frames = frame_signal(np.asarray(mono_i16, dtype=np.int16))
+    if frames.shape[0] == 0:
+        return np.zeros((0, 16)), np.zeros((0,))
+    filtered = chroma_filter(chroma_features(spectral_energy(frames)))
+    norm = np.sqrt(np.sum(filtered * filtered, axis=1))
+    normalized = chroma_normalize(filtered)
+    n = normalized.shape[0] - (MAX_FILTER_WIDTH - 1)
+    if n <= 0:
+        return np.zeros((0, 16)), norm
+    windows = np.lib.stride_tricks.sliding_window_view(
+        normalized, (MAX_FILTER_WIDTH, NUM_BANDS)
+    )[:, 0].reshape(n, MAX_FILTER_WIDTH * NUM_BANDS)
+    ab = windows @ _W_CLS
+    values = np.log((1.0 + ab[:, 0::2]) / (1.0 + ab[:, 1::2]))
+    return values, norm
+
+
 def fingerprint_numpy(mono_i16: np.ndarray) -> np.ndarray:
     """Full pipeline: mono i16 PCM @ 11025 Hz -> u32 subfingerprints."""
     frames = frame_signal(np.asarray(mono_i16, dtype=np.int16))

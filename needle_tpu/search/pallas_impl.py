@@ -228,6 +228,11 @@ def batch_counts_pallas(
     import os as _os
 
     g_tiles = int(_os.environ.get("NEEDLE_TPU_SEARCH_GTILES", "0")) or G_TILES
+    if g_tiles not in (8, 16):
+        # the staged dst window is 32 rows (kernel line `pl.ds(base16, 32)`
+        # with q - base16 up to 15), so any width > 16 would silently read
+        # wrapped rows — wrong counts, no error
+        raise ValueError("NEEDLE_TPU_SEARCH_GTILES must be 8 or 16")
     n_groups = -(-n_tiles // g_tiles)
     n_tiles_pad = n_groups * g_tiles
     # src/dst reshaped to aligned rows: slicing one pair out of a 2-D

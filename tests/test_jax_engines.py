@@ -69,7 +69,7 @@ def test_classifier_values_extraction_matches_oracle():
     """The hw_parity validation entry point (pre-quantization classifier
     values + chroma norms) agrees with the float64 oracle within the
     EXACT_EPS flagging margin on this backend."""
-    from needle_tpu.fingerprint import numpy_impl as NP
+    from needle_tpu.fingerprint.numpy_impl import classifier_values_oracle
     from needle_tpu.fingerprint.jax_impl import (
         _exact_eps,
         classifier_values_jax,
@@ -78,17 +78,7 @@ def test_classifier_values_extraction_matches_oracle():
     rng = np.random.default_rng(99)
     mono = _music(rng, 20)
     v_dev, n_dev = classifier_values_jax(mono)
-    filtered = NP.chroma_filter(
-        NP.chroma_features(NP.spectral_energy(NP.frame_signal(mono)))
-    )
-    norm = np.sqrt(np.sum(filtered * filtered, axis=1))
-    normalized = NP.chroma_normalize(filtered)
-    nw = normalized.shape[0] - 15
-    windows = np.lib.stride_tricks.sliding_window_view(normalized, (16, 12))[
-        :, 0
-    ].reshape(nw, 192)
-    ab = windows @ NP._W_CLS
-    v_np = np.log((1.0 + ab[:, 0::2]) / (1.0 + ab[:, 1::2]))
+    v_np, norm = classifier_values_oracle(mono)
     assert v_dev.shape == v_np.shape
     assert np.max(np.abs(v_dev - v_np)) < 0.5 * _exact_eps()
     small = norm <= 1.0
