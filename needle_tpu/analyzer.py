@@ -57,6 +57,10 @@ from .util import compute_header_md5sum
 # trail and how to flip the default if a reference-produced golden file
 # ever disagrees live in STATUS.md. step_by (analyzer.rs:293-296) divides
 # truncated as_millis() values and is IDENTICAL in both modes (123 ms).
+# NOTE: `.needle.dat` caches are keyed by header MD5 only (reference
+# semantics), so files written under one mode are NOT invalidated by
+# switching modes — re-analyze with force=True / --force after changing
+# NEEDLE_TPU_TS_MODE.
 _TS_MODES = ("samples", "ms")
 
 
