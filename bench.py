@@ -414,9 +414,12 @@ def main():
         trial_stages.append(
             {**_stage_delta(snap0, snap1), **_stage_delta(snap1, snap2)}
         )
-        # On very slow transport eras a retrial would risk the caller's
-        # timeout; one measurement is better than none.
+        # On very slow transport eras retrials would risk the caller's
+        # timeout; one measurement is better than none, and the total
+        # trial budget stays bounded on mid-slow eras too.
         if trial == 0 and analyze_times[0] + search_times[0] > 120.0:
+            break
+        if sum(analyze_times) + sum(search_times) > 360.0:
             break
 
     t_analyze = min(analyze_times)
