@@ -34,6 +34,42 @@ def test_library_embedding_flow(tmp_path):
     assert any(r.opening is not None for r in results)
 
 
+def test_pair_sharded_search_equals_monolithic(tmp_path):
+    """The multi-host decomposition (pair_order -> per-shard
+    search_pair_infos -> union -> finalize_results) must produce exactly
+    what run_with_frame_hashes produces, for any shard split — the
+    single-process guarantee behind distributed_search."""
+    make_synthetic_season(
+        tmp_path, num_episodes=4, episode_secs=100, opening_secs=25, seed=77
+    )
+    videos = sorted(needle.util.find_video_files([tmp_path]))
+    analyzer = needle.Analyzer.from_files(videos)
+    fhs = analyzer.run(
+        needle.Duration.from_secs_f32(np.float32(0.3)), persist=False
+    )
+    cmp = needle.Comparator.from_files(videos)
+    base = cmp.run_with_frame_hashes(
+        fhs, display=False, use_skip_files=False, write_skip_files=False
+    )
+
+    pairs = cmp.pair_order(len(videos))
+    for n_shards in (2, 3):
+        merged = {}
+        for s in range(n_shards):
+            mine = pairs[s::n_shards]  # round-robin, like local_shard
+            infos = cmp.search_pair_infos(fhs, mine)
+            for key, info in zip(mine, infos):
+                if not info.is_empty():
+                    merged[key] = info
+        data = [(i, j, merged[(i, j)]) for (i, j) in pairs if (i, j) in merged]
+        sharded = cmp.finalize_results(
+            data, display=False, use_skip_files=False, write_skip_files=False
+        )
+        assert [(r.opening, r.ending) for r in sharded] == [
+            (r.opening, r.ending) for r in base
+        ], f"{n_shards}-shard split diverged"
+
+
 def test_public_surface_exports():
     """The facade exports everything the reference's lib.rs does."""
     for name in (
