@@ -275,9 +275,12 @@ def search_only_config(n_eps: int) -> None:
         )
         times.append(time.time() - t0)
         trial_stages.append(_stage_delta(snap0, _stage_snapshot()))
-        # same slow-era guard as main(): a retrial on a crawling transport
-        # would risk the caller's timeout
+        # same slow-era guards as main(): a retrial on a crawling transport
+        # would risk the caller's timeout, and the total trial budget stays
+        # bounded on mid-slow eras
         if trial == 0 and times[0] > 300.0:
+            break
+        if sum(times) > 420.0:
             break
     from needle_tpu.tracing import report_metrics
 
@@ -345,8 +348,10 @@ def small3_config() -> None:
         t0 = time.time()
         results = run_search(paths)
         times_s.append(time.time() - t0)
-        # same slow-era guard as main()
+        # same slow-era guards as main()
         if trial == 0 and times_a[0] + times_s[0] > 120.0:
+            break
+        if sum(times_a) + sum(times_s) > 360.0:
             break
     total = min(times_a) + min(times_s)
     acc = accuracy(results, paths, truths["opening"], truths["ending"])

@@ -122,19 +122,29 @@ def chroma_normalize(filtered: np.ndarray) -> np.ndarray:
     return out
 
 
-def classify(normalized: np.ndarray) -> np.ndarray:
-    """Slide the 16-frame classifier window over normalized chroma and emit
-    one u32 subfingerprint per position (chromaprint FingerprintCalculator)."""
+def _classifier_values(normalized: np.ndarray) -> np.ndarray:
+    """(n_sub, 16) pre-quantization classifier values: 16-frame sliding
+    windows over normalized chroma -> classifier matmul -> SubtractLog.
+    Shared by classify() and classifier_values_oracle() (one source of
+    truth for the derivation)."""
     n = normalized.shape[0] - (MAX_FILTER_WIDTH - 1)
     if n <= 0:
-        return np.zeros(0, dtype=np.uint32)
+        return np.zeros((0, 16))
     # (n, 16*12) unfolded windows
     windows = np.lib.stride_tricks.sliding_window_view(
         normalized, (MAX_FILTER_WIDTH, NUM_BANDS)
     )[:, 0].reshape(n, MAX_FILTER_WIDTH * NUM_BANDS)
     ab = windows @ _W_CLS  # (n, 32): a at even cols, b at odd cols
     a, b = ab[:, 0::2], ab[:, 1::2]
-    values = np.log((1.0 + a) / (1.0 + b))  # SubtractLog
+    return np.log((1.0 + a) / (1.0 + b))  # SubtractLog
+
+
+def classify(normalized: np.ndarray) -> np.ndarray:
+    """Slide the 16-frame classifier window over normalized chroma and emit
+    one u32 subfingerprint per position (chromaprint FingerprintCalculator)."""
+    values = _classifier_values(normalized)
+    if values.shape[0] == 0:
+        return np.zeros(0, dtype=np.uint32)
     # quantize against per-classifier thresholds
     t0, t1, t2 = (QUANTIZER_THRESHOLDS[:, k] for k in range(3))
     q = (values >= t0).astype(np.uint32) + (values >= t1) + (values >= t2)
@@ -154,16 +164,7 @@ def classifier_values_oracle(mono_i16: np.ndarray):
         return np.zeros((0, 16)), np.zeros((0,))
     filtered = chroma_filter(chroma_features(spectral_energy(frames)))
     norm = np.sqrt(np.sum(filtered * filtered, axis=1))
-    normalized = chroma_normalize(filtered)
-    n = normalized.shape[0] - (MAX_FILTER_WIDTH - 1)
-    if n <= 0:
-        return np.zeros((0, 16)), norm
-    windows = np.lib.stride_tricks.sliding_window_view(
-        normalized, (MAX_FILTER_WIDTH, NUM_BANDS)
-    )[:, 0].reshape(n, MAX_FILTER_WIDTH * NUM_BANDS)
-    ab = windows @ _W_CLS
-    values = np.log((1.0 + ab[:, 0::2]) / (1.0 + ab[:, 1::2]))
-    return values, norm
+    return _classifier_values(chroma_normalize(filtered)), norm
 
 
 def fingerprint_numpy(mono_i16: np.ndarray) -> np.ndarray:

@@ -207,24 +207,17 @@ def _kernel(
     counts_ref[...] = prev + placed[None, :, :]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_pad", "interpret")
-)
-def batch_counts_pallas(
-    nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad, interpret=False
-):
-    """(chunk, n_pad) src/dst hash rows + per-pair scalars -> per-diagonal
-    candidate counts (chunk, n_tiles*D_TILE) i32. Diagonal index d maps to
-    offset d - (n_pad - 1)."""
-    assert n_pad % D_TILE == 0, "pallas search requires n_pad % 512 == 0"
-    chunk = src_b.shape[0]
-    n_tiles = -(-(2 * n_pad - 1) // D_TILE)
-    # Group width: (16, 512) blocks were tried for big shapes (halving the
-    # grid-program count; the 32-row staged window serves either width)
-    # but measured ~17% SLOWER than 8 in an interleaved A/B on v5e
-    # (245 vs 290 ms per 512-pair chunk at n_pad=2560, r3) — the wider
-    # rolls/selects don't pipeline as well. 8 stays the default;
-    # NEEDLE_TPU_SEARCH_GTILES overrides for future hardware.
+def _resolve_g_tiles() -> int:
+    """Group width: (16, 512) blocks were tried for big shapes (halving
+    the grid-program count; the 32-row staged window serves either width)
+    but measured ~17% SLOWER than 8 in an interleaved A/B on v5e
+    (245 vs 290 ms per 512-pair chunk at n_pad=2560, r3) — the wider
+    rolls/selects don't pipeline as well. 8 stays the default;
+    NEEDLE_TPU_SEARCH_GTILES overrides for future hardware. Resolved
+    OUTSIDE jit so each call re-reads the env and an invalid value always
+    raises (an in-trace read froze at first compile); note that callers
+    that are themselves jitted (e.g. _batch_pallas_bitmask) still bake
+    the value in at their own trace time."""
     import os as _os
 
     g_tiles = int(_os.environ.get("NEEDLE_TPU_SEARCH_GTILES", "0")) or G_TILES
@@ -233,6 +226,30 @@ def batch_counts_pallas(
         # with q - base16 up to 15), so any width > 16 would silently read
         # wrapped rows — wrong counts, no error
         raise ValueError("NEEDLE_TPU_SEARCH_GTILES must be 8 or 16")
+    return g_tiles
+
+
+def batch_counts_pallas(
+    nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad, interpret=False
+):
+    """(chunk, n_pad) src/dst hash rows + per-pair scalars -> per-diagonal
+    candidate counts (chunk, n_tiles*D_TILE) i32. Diagonal index d maps to
+    offset d - (n_pad - 1)."""
+    return _batch_counts_pallas_jit(
+        nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad,
+        _resolve_g_tiles(), interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pad", "g_tiles", "interpret")
+)
+def _batch_counts_pallas_jit(
+    nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad, g_tiles, interpret=False
+):
+    assert n_pad % D_TILE == 0, "pallas search requires n_pad % 512 == 0"
+    chunk = src_b.shape[0]
+    n_tiles = -(-(2 * n_pad - 1) // D_TILE)
     n_groups = -(-n_tiles // g_tiles)
     n_tiles_pad = n_groups * g_tiles
     # src/dst reshaped to aligned rows: slicing one pair out of a 2-D
