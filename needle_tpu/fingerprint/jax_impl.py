@@ -427,17 +427,26 @@ def _decimate_mode() -> str:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mid_rate", "channels", "n_frames", "dec_factor")
+    jax.jit,
+    static_argnames=(
+        "mid_rate", "channels", "n_frames", "dec_factor", "with_flags",
+        "with_values",
+    ),
 )
 def _ingest_fingerprint_batched(
     batch_raw_i16, nv_b, rs_mat, wc, ws, fold, W_cls, thresholds,
-    mid_rate, channels, n_frames, dec_factor=1,
+    mid_rate, channels, n_frames, dec_factor=1, with_flags=False,
+    with_values=False,
 ):
     """Fused device pipeline: [decimate ->] downmix -> resample ->
     fingerprint, vmapped over a FIXED number of lanes (one compiled
     program per (rate, bucket)). nv_b carries each lane's valid RAW frame
     count so decimated tails are masked exactly like the host placement's
-    zero padding (the FIR rings past a segment's true end otherwise)."""
+    zero padding (the FIR rings past a segment's true end otherwise).
+    with_flags additionally returns per-subfingerprint borderline flags
+    (rescan candidates against the canonical host oracle,
+    ingest_oracle.py); with_values returns the pre-quantization classifier
+    values + chroma norms instead (margin validation, tools/hw_parity.py)."""
 
     def one(raw, nv):
         # Zero every frame >= the lane's valid count FIRST: lanes may carry
@@ -479,7 +488,8 @@ def _ingest_fingerprint_batched(
             [mono, jnp.zeros((max(0, pad_len - mono.shape[0]),), jnp.float32)]
         )[:pad_len]
         return _fingerprint_core_inline(
-            mono, wc, ws, fold, W_cls, thresholds, n_frames
+            mono, wc, ws, fold, W_cls, thresholds, n_frames,
+            with_flags=with_flags, with_values=with_values,
         )
 
     return jax.vmap(one)(batch_raw_i16, nv_b)
@@ -530,9 +540,16 @@ class IngestDispatcher:
         self._tables = _device_tables()
         self._pending: dict = {}  # nf_bucket -> (refs, segments)
         self._launched: list = []  # (refs, device_out)
+        self._flag_launched: list = []  # (refs, device_flags) when exact
         self._out_lens: dict = {}  # ref -> n_sub
         self._empty: dict = {}  # ref -> empty result
         self._zero_rows: dict = {}  # in_len -> device zero row (pad lanes)
+        # Borderline flag-and-rescan against the canonical host oracle
+        # (ingest_oracle.py) makes the fused path's hashes exactly the
+        # oracle's on every backend; the rescan needs each lane's raw
+        # segment again, so keep the (zero-copy memmap) references around.
+        self._exact = _exact_enabled()
+        self._rescan_info: dict = {}  # ref -> (segment, n_valid, nf_bucket)
 
     def add(self, ref, segment: np.ndarray, n_valid: int = None) -> None:
         """Queue one segment. `segment` may EXTEND past the true window
@@ -552,6 +569,8 @@ class IngestDispatcher:
             return
         self._out_lens[ref] = n_sub
         nf_b = _bucket_frames(num_frames(n_res))
+        if self._exact:
+            self._rescan_info[ref] = (segment, n_valid, nf_b)
         refs, segs = self._pending.setdefault(nf_b, ([], []))
         refs.append(ref)
         segs.append((segment, n_valid))
@@ -596,8 +615,13 @@ class IngestDispatcher:
             out = _ingest_fingerprint_batched(
                 device_batch, jnp.asarray(nv), self._rs_mat, *self._tables,
                 self.mid_rate, self.channels, nf_b, self.dec_factor,
+                with_flags=self._exact,
             )
-        self._launched.append((refs, out))
+        if self._exact:
+            self._launched.append((refs, out[0]))
+            self._flag_launched.append((refs, out[1]))
+        else:
+            self._launched.append((refs, out))
 
     def finish(self) -> dict:
         """Flush partial chunks, collect everything. Returns ref->hashes."""
@@ -616,10 +640,46 @@ class IngestDispatcher:
         if lane_lists:
             with span("ingest.collect"):
                 _collect_lanes(lane_lists, out_lens, flat_results)
+        if self._exact and self._flag_launched:
+            flag_lists = []
+            pos = 0
+            for refs, fout in self._flag_launched:
+                flag_lists.append((list(range(pos, pos + len(refs))), fout))
+                pos += len(refs)
+            flat_flags: List = [None] * len(flat_refs)
+            with span("ingest.collect"):
+                _collect_lanes(flag_lists, out_lens, flat_flags)
+            self._rescan(flat_refs, flat_results, flat_flags)
         results = dict(self._empty)
         results.update(zip(flat_refs, flat_results))
         self._launched, self._pending, self._empty = [], {}, {}
+        self._flag_launched, self._rescan_info = [], {}
         return results
+
+    def _rescan(self, flat_refs, flat_results, flat_flags) -> None:
+        """Recompute borderline-flagged subfingerprints with the canonical
+        host oracle (ingest_oracle.ingest_hashes_window_oracle), making the
+        returned hashes exactly the canonical basis's on every backend."""
+        from ..tracing import span
+        from .ingest_oracle import ingest_hashes_window_oracle
+        from .numpy_impl import merge_flag_ranges
+
+        total = sum(
+            int(f.sum()) for f in flat_flags if f is not None and len(f)
+        )
+        if not total:
+            return
+        with span("ingest.rescan", flagged=total):
+            for i, ref in enumerate(flat_refs):
+                f = flat_flags[i]
+                if f is None or not len(f) or not f.any():
+                    continue
+                segment, n_valid, nf_b = self._rescan_info[ref]
+                for lo, hi in merge_flag_ranges(np.nonzero(f)[0]):
+                    flat_results[i][lo:hi] = ingest_hashes_window_oracle(
+                        segment, n_valid, self.in_rate, self.channels,
+                        self.dec_factor, nf_b, lo, hi,
+                    )
 
 
 def fingerprint_ingest_jax_batch(
@@ -632,15 +692,15 @@ def fingerprint_ingest_jax_batch(
     bucket. Segments may extend past their true window when `n_valids`
     gives the true sample counts (see IngestDispatcher.add).
 
-    Exactness scope: the bit-exact borderline rescan (NEEDLE_TPU_EXACT)
-    applies to the pre-decoded 11025 Hz mono path (fingerprint_jax_batch),
-    whose host oracle consumes the identical input samples. THIS fused path
-    resamples in device f32 — its hash basis is the device resample, for
-    which no sample-identical host oracle exists (host swr is a different
-    resampler), so its hashes are deterministic but not flagged/rescanned;
-    quantization borderlines (~0.05% of hashes, 1 gray bit) are absorbed by
-    the search Hamming threshold. Claims of bit-exactness in docs/STATUS
-    are scoped accordingly."""
+    Exactness: with NEEDLE_TPU_EXACT (default on), borderline-quantized
+    hashes are flagged on device and recomputed with the canonical host
+    oracle (ingest_oracle.py: bit-identical integer decimate/downmix, the
+    device's own resample program structure evaluated in float64) — the
+    returned hashes are exactly the canonical basis's on every backend.
+    This basis differs from the reference's (host libswresample) only by
+    the resampler; both are internally consistent, which is what the
+    search needs. The pre-decoded 11025 Hz mono path (fingerprint_jax_batch)
+    is additionally bit-exact against live libchromaprint."""
     if not segments:
         return []
     d = IngestDispatcher(in_rate, channels)
@@ -648,6 +708,41 @@ def fingerprint_ingest_jax_batch(
         d.add(idx, s, None if n_valids is None else n_valids[idx])
     results = d.finish()
     return [results[i] for i in range(len(segments))]
+
+
+def ingest_classifier_values_jax(
+    segment_i16: np.ndarray, in_rate: int, channels: int = 1,
+    n_valid: int = None,
+):
+    """Pre-quantization classifier values + chroma norms of ONE fused-ingest
+    lane, computed with the production program structure on the default JAX
+    backend. tools/hw_parity.py compares these against
+    ingest_oracle.ingest_values_oracle ON HARDWARE to validate that the
+    NEEDLE_TPU_EXACT_EPS margin also bounds the fused path's device-vs-
+    canonical error (which includes the resample matmul approximation)."""
+    segment = np.asarray(segment_i16, dtype=np.int16)
+    if n_valid is None:
+        n_valid = len(segment)
+    d = IngestDispatcher(in_rate, channels)
+    n_dec = (n_valid // channels) // d.dec_factor
+    n_res = resampled_length(n_dec * channels, d.mid_rate, channels)
+    nf_b = _bucket_frames(num_frames(n_res))
+    _, in_len, _ = _ingest_dims(d.mid_rate, nf_b)
+    in_len *= channels * d.dec_factor
+    buf = np.zeros(in_len, np.int16)
+    buf[: min(len(segment), in_len)] = segment[:in_len]
+    nv = np.asarray([min(n_valid, in_len) // channels], np.int32)
+    values, norms = _ingest_fingerprint_batched(
+        jnp.asarray(buf[None, :]), jnp.asarray(nv), d._rs_mat, *d._tables,
+        d.mid_rate, channels, nf_b, d.dec_factor, with_values=True,
+    )
+    n_sub = num_subfingerprints(n_res)
+    return (
+        np.asarray(values[0])[:n_sub],
+        np.asarray(norms[0]),
+        d.dec_factor,
+        nf_b,
+    )
 
 
 def _collect_lanes(launched, out_lens, results) -> None:

@@ -1,0 +1,162 @@
+"""Exactness of the fused device-ingest path against its canonical host
+oracle (fingerprint/ingest_oracle.py).
+
+The fused program ([integer decimate ->] integer downmix -> f32 polyphase
+resample -> fingerprint) defines its hash basis as the canonical float64
+host evaluation of the same program structure; borderline-quantized hashes
+are flagged on device and rescanned with the oracle
+(jax_impl.IngestDispatcher._rescan), making the returned hashes exactly
+the oracle's on every backend. Reference counterpart: the host
+swr+chromaprint pipeline of needle/src/audio/analyzer.rs:176-311 (a
+different — also internally consistent — resampler basis)."""
+
+import numpy as np
+import pytest
+
+from needle_tpu.fingerprint.jax_impl import (
+    IngestDispatcher,
+    _bucket_frames,
+    fingerprint_ingest_jax_batch,
+    resampled_length,
+)
+from needle_tpu.fingerprint.ingest_oracle import (
+    decimate2_hb_np,
+    ingest_hashes_full_oracle,
+    ingest_hashes_window_oracle,
+)
+from needle_tpu.fingerprint.numpy_impl import num_frames, num_subfingerprints
+
+
+def _lane_geometry(seg_len, n_valid, in_rate, channels):
+    d = IngestDispatcher(in_rate, channels)
+    n_dec = (n_valid // channels) // d.dec_factor
+    n_res = resampled_length(n_dec * channels, d.mid_rate, channels)
+    n_sub = num_subfingerprints(n_res)
+    nf_b = _bucket_frames(num_frames(n_res))
+    return d.dec_factor, nf_b, n_sub
+
+
+def _noise(rng, n, amp=6000):
+    # white noise concentrates classifier values near the trained
+    # thresholds — the worst case for borderline flagging
+    return (rng.standard_normal(n) * amp).astype(np.int16)
+
+
+CASES = [
+    (44100, 2, 8.0),  # stereo, factor-4 decimate cascade
+    (16000, 1, 10.0),  # mono, factor-2 half-band
+    (11025, 1, 10.0),  # mono, mid rate == 11025: no resample stage
+    (22050, 2, 6.0),  # stereo, factor-2, then 11025 resample... (22050/2)
+]
+
+
+@pytest.mark.parametrize("in_rate,channels,secs", CASES)
+def test_fused_ingest_matches_canonical_oracle(in_rate, channels, secs):
+    rng = np.random.default_rng(in_rate + channels)
+    n = int(in_rate * secs) * channels
+    seg = _noise(rng, n)
+    out = fingerprint_ingest_jax_batch([seg], in_rate, channels)[0]
+    dec, nf_b, n_sub = _lane_geometry(len(seg), len(seg), in_rate, channels)
+    oracle = ingest_hashes_full_oracle(
+        seg, len(seg), in_rate, channels, dec, nf_b, n_sub
+    )
+    assert len(out) == n_sub
+    np.testing.assert_array_equal(out, oracle)
+
+
+def test_fused_ingest_respects_n_valid_masking():
+    """Segments may extend past the true window; samples past n_valid are
+    zeroed before the decimation FIR (whose ringing would otherwise leak
+    the overhang into the window's hashes)."""
+    rng = np.random.default_rng(5)
+    in_rate, channels = 16000, 1
+    n_valid = in_rate * 6
+    seg = _noise(rng, in_rate * 8)  # 2 s of overhang past n_valid
+    out = fingerprint_ingest_jax_batch([seg], in_rate, channels, [n_valid])[0]
+    dec, nf_b, n_sub = _lane_geometry(len(seg), n_valid, in_rate, channels)
+    oracle = ingest_hashes_full_oracle(
+        seg, n_valid, in_rate, channels, dec, nf_b, n_sub
+    )
+    np.testing.assert_array_equal(out, oracle)
+    # and the overhang must not have leaked: hashes equal the truncated
+    # segment's (whose lane zero-padding is the canonical semantics)
+    out2 = fingerprint_ingest_jax_batch(
+        [seg[:n_valid]], in_rate, channels, [n_valid]
+    )[0]
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_window_oracle_consistency():
+    """Recomputing any [lo, hi) slice from only its dependency window must
+    reproduce the full oracle's values (the rescan relies on this)."""
+    rng = np.random.default_rng(11)
+    in_rate, channels = 44100, 2
+    seg = _noise(rng, in_rate * 2 * 10)
+    dec, nf_b, n_sub = _lane_geometry(len(seg), len(seg), in_rate, channels)
+    full = ingest_hashes_full_oracle(
+        seg, len(seg), in_rate, channels, dec, nf_b, n_sub
+    )
+    for lo, hi in [(0, 5), (17, 18), (n_sub - 4, n_sub), (3, n_sub - 3)]:
+        win = ingest_hashes_window_oracle(
+            seg, len(seg), in_rate, channels, dec, nf_b, lo, hi
+        )
+        np.testing.assert_array_equal(win, full[lo:hi])
+
+
+def test_rescan_flags_fire_on_noise(monkeypatch):
+    """The equality above must not be vacuous: with a paranoid margin the
+    flag count is large, and the rescan output still equals the default
+    margin's (all three — default, paranoid, and oracle — agree)."""
+    import jax
+
+    from needle_tpu import tracing
+
+    rng = np.random.default_rng(7)
+    seg = _noise(rng, 16000 * 6)
+    out_default = fingerprint_ingest_jax_batch([seg], 16000, 1)[0]
+
+    monkeypatch.setenv("NEEDLE_TPU_EXACT_EPS", "1e30")
+    jax.clear_caches()  # the margin is baked at trace time
+    flagged = {}
+    orig = tracing.span
+
+    def spy(name, **kw):
+        if name == "ingest.rescan":
+            flagged["n"] = kw.get("flagged", 0)
+        return orig(name, **kw)
+
+    monkeypatch.setattr(tracing, "span", spy)
+    out_all = fingerprint_ingest_jax_batch([seg], 16000, 1)[0]
+    monkeypatch.setattr(tracing, "span", orig)
+    monkeypatch.delenv("NEEDLE_TPU_EXACT_EPS")
+    jax.clear_caches()
+
+    assert flagged.get("n", 0) == len(out_all)  # paranoid margin flags all
+    np.testing.assert_array_equal(out_default, out_all)
+
+
+def test_decimate_replica_three_ways():
+    """decimate2_hb_np must be bit-identical to the native kernel and the
+    device kernel — one integer semantics, three implementations."""
+    from needle_tpu.fingerprint.decimate import _HB_MAIN, _halfband_q14
+
+    rng = np.random.default_rng(3)
+    odd_q, c0 = _halfband_q14(*_HB_MAIN)
+    for channels in (1, 2):
+        x = rng.integers(-32768, 32768, size=(4096, channels)).astype(np.int32)
+        ref = decimate2_hb_np(x, odd_q, c0)
+
+        from needle_tpu import ingest
+
+        if ingest.native_available():
+            nat = ingest.decimate2_hb(
+                x.astype(np.int16).reshape(-1), channels, odd_q, c0
+            )
+            np.testing.assert_array_equal(
+                nat.reshape(-1, channels).astype(np.int32), ref
+            )
+
+        from needle_tpu.fingerprint.jax_impl import _device_decimate2_hb_i32
+
+        dev = np.asarray(_device_decimate2_hb_i32(x, odd_q, c0))
+        np.testing.assert_array_equal(dev, ref)

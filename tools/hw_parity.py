@@ -229,6 +229,105 @@ def hash_bit_exactness(rng, seconds: float = 60.0):
     return res
 
 
+def validate_ingest_eps(rng, seconds: float = 60.0):
+    """Fused-ingest margin validation: max device-vs-canonical divergence
+    of the pre-quantization classifier values / chroma norms for the
+    DEVICE-INGEST basis (ingest_oracle.py), which adds the polyphase
+    resample matmul to the error budget. Measured on the default backend
+    over the decimate-4 stereo path (the headline bench path's shape)."""
+    from needle_tpu.fingerprint.ingest_oracle import ingest_values_oracle
+    from needle_tpu.fingerprint.jax_impl import ingest_classifier_values_jax
+    from needle_tpu.testing import _music_like
+
+    in_rate, channels = 44100, 2
+    n = int(seconds * in_rate)
+    mono = _music_like(rng, n, in_rate)
+    fade_from = int(0.7 * n)
+    fade = np.ones(n)
+    fade[fade_from:] = np.exp(
+        -12.0 * np.arange(n - fade_from) / max(n - fade_from, 1)
+    )
+    stereo = np.empty(2 * n)
+    stereo[0::2] = mono * fade
+    stereo[1::2] = np.roll(mono, 31) * fade
+    seg = np.clip(
+        stereo / np.abs(stereo).max() * 20000, -32768, 32767
+    ).astype(np.int16)
+
+    v_dev, n_dev, dec, nf_b = ingest_classifier_values_jax(
+        seg, in_rate, channels
+    )
+    v_np, norm = ingest_values_oracle(
+        seg, len(seg), in_rate, channels, dec, nf_b, len(v_dev)
+    )
+    n_sub = min(len(v_dev), len(v_np))
+    max_val_err = float(np.max(np.abs(v_dev[:n_sub] - v_np[:n_sub])))
+    n_frames = min(len(n_dev), len(norm))
+    nd, nn = n_dev[:n_frames], norm[:n_frames]
+    small = nn <= 1.0
+    max_norm_err_small = (
+        float(np.max(np.abs(nd[small] - nn[small]))) if small.any() else 0.0
+    )
+    return {
+        "max_value_err": max_val_err,
+        "max_norm_err_small": max_norm_err_small,
+        "small_norm_frames": int(small.sum()),
+        "subfingerprints": n_sub,
+        "dec_factor": dec,
+    }
+
+
+def ingest_hash_exactness(rng, seconds: float = 45.0):
+    """End-to-end fused-ingest flag-and-rescan check on the default
+    backend: hashes from the device pipeline (with the backend's margin)
+    must equal the canonical host oracle's bit for bit — music AND noise,
+    over the stereo decimate-4 path."""
+    from needle_tpu.fingerprint.ingest_oracle import ingest_hashes_full_oracle
+    from needle_tpu.fingerprint.jax_impl import (
+        IngestDispatcher,
+        _bucket_frames,
+        fingerprint_ingest_jax_batch,
+        resampled_length,
+    )
+    from needle_tpu.fingerprint.numpy_impl import (
+        num_frames,
+        num_subfingerprints,
+    )
+    from needle_tpu.search.oracle import popcount_u32
+    from needle_tpu.testing import _music_like
+
+    in_rate, channels = 44100, 2
+    n = int(seconds * in_rate)
+    music = _music_like(rng, n, in_rate)
+    segs = {
+        "music": np.clip(
+            np.repeat(music / np.abs(music).max() * 20000, 2), -32768, 32767
+        ).astype(np.int16),
+        "noise": np.clip(
+            rng.standard_normal(2 * n) * 8000, -32768, 32767
+        ).astype(np.int16),
+    }
+    res = {}
+    for name, seg in segs.items():
+        t0 = time.time()
+        a = np.asarray(fingerprint_ingest_jax_batch([seg], in_rate, channels)[0])
+        d = IngestDispatcher(in_rate, channels)
+        n_dec = (len(seg) // channels) // d.dec_factor
+        n_res = resampled_length(n_dec * channels, d.mid_rate, channels)
+        b = ingest_hashes_full_oracle(
+            seg, len(seg), in_rate, channels, d.dec_factor,
+            _bucket_frames(num_frames(n_res)), num_subfingerprints(n_res),
+        )
+        dd = popcount_u32(a ^ b)
+        res[name] = {
+            "hashes": int(len(a)),
+            "hashes_differing": int((dd > 0).sum()),
+            "max_hamming": int(dd.max()) if len(dd) else 0,
+            "wall_s": round(time.time() - t0, 2),
+        }
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=6)
@@ -297,12 +396,28 @@ def main():
         out["hashes_bit_exact"] = all(
             v["hashes_differing"] == 0 for v in hashes.values()
         )
+        ingest_eps = validate_ingest_eps(rng)
+        out.update({f"ingest_eps_{k}": v for k, v in ingest_eps.items()})
+        out["ingest_eps_ok"] = (
+            max(
+                ingest_eps["max_value_err"],
+                ingest_eps["max_norm_err_small"],
+            )
+            < 0.5 * _exact_eps()
+        )
+        ingest_hashes = ingest_hash_exactness(rng)
+        out["ingest_hash_parity"] = ingest_hashes
+        out["ingest_hashes_bit_exact"] = all(
+            v["hashes_differing"] == 0 for v in ingest_hashes.values()
+        )
     print(json.dumps(out))
     return (
         0
         if out["exact"]
         and out.get("eps_ok", True)
         and out.get("hashes_bit_exact", True)
+        and out.get("ingest_eps_ok", True)
+        and out.get("ingest_hashes_bit_exact", True)
         else 1
     )
 

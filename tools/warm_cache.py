@@ -39,6 +39,10 @@ def main() -> None:
     frame_buckets = [256, 512, 1280, 2560, 5120] if not quick else [256, 2560]
     rates = [(16000, 1), (8000, 1), (11025, 2), (12000, 1), (44100, 2)]
     tables = J._device_tables()
+    # warm the SAME program variant production dispatches: with the exact
+    # borderline flagging on (the default), the flags output is part of the
+    # compiled program for both the fused-ingest and mono paths
+    exact = J._exact_enabled()
     for rate, ch in rates:
         f = decimation_factor(rate)
         dec = f if f in (2, 4) else 1
@@ -52,9 +56,9 @@ def main() -> None:
             t0 = time.time()
             out = J._ingest_fingerprint_batched(
                 jax.numpy.asarray(batch), jax.numpy.asarray(nv), rs,
-                *tables, mid, ch, nf_b, dec,
+                *tables, mid, ch, nf_b, dec, with_flags=exact,
             )
-            np.asarray(out)
+            np.asarray(out[0] if exact else out)
             log(f"ingest rate={rate} ch={ch} nf={nf_b} dec={dec}: "
                 f"{time.time() - t0:.1f}s")
 
@@ -62,8 +66,10 @@ def main() -> None:
         pad_len = (nf_b + J._ROWS_PER_FRAME + 1) * J.HOP_SIZE
         batch = np.zeros((J.LANES, pad_len), np.int16)
         t0 = time.time()
-        out = J._fingerprint_core_batched(jax.numpy.asarray(batch), *tables, nf_b)
-        np.asarray(out)
+        out = J._fingerprint_core_batched(
+            jax.numpy.asarray(batch), *tables, nf_b, with_flags=exact
+        )
+        np.asarray(out[0] if exact else out)
         log(f"fingerprint nf={nf_b}: {time.time() - t0:.1f}s")
 
     # Search programs: hash-length buckets x episode-table buckets x chunks.
