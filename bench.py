@@ -157,6 +157,7 @@ _STAGE_KEYS = (
     "ingest.upload",
     "ingest.dispatch",
     "ingest.collect",
+    "ingest.rescan",
     "analyze.decode",
     "analyze.fingerprint",
     "analyze.assemble",
