@@ -22,6 +22,7 @@ what opening/ending detection needs).
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Tuple
 
 import numpy as np
@@ -112,29 +113,71 @@ def _ingest_prepare_mid(
     return mono.astype(np.float64)
 
 
+@_functools.lru_cache(maxsize=None)
+def _resample_matd(mid_rate: int):
+    """(L, M, k, float64 filter matrix) of the device resample plan —
+    cached so repeated window recomputes don't re-cast the matrix."""
+    from .jax_impl import _resample_plan
+
+    L, M, k, mat = _resample_plan(mid_rate)
+    return L, M, k, mat.astype(np.float64)
+
+
+def _resample_spans(xpad: np.ndarray, mid_rate: int, spans) -> list:
+    """Canonical 11025 Hz samples for several [t_lo, t_hi) output spans of
+    the device's block polyphase resample (jax_impl._resample_inline):
+    each output is the float64 dot of its block's input window with its
+    filter column, cast to f32 — sample-deterministic regardless of
+    backend. All blocks needed by all spans are gathered (deduplicated)
+    into ONE row-batched GEMM, so the filter matrix streams from memory
+    once instead of once per block — the per-block vector-matrix form was
+    memory-bound on the matrix and dominated rescan cost at scale. `xpad`
+    is the half-taps-zero-padded mid-rate mono signal, prepared ONCE by
+    the caller (re-padding per span was the other dominant rescan cost)."""
+    from .jax_impl import _RS_HALF_TAPS
+
+    L, M, k, matd = _resample_matd(mid_rate)
+    H = _RS_HALF_TAPS
+    kM, kL = k * M, k * L
+    blocks = sorted(
+        {
+            b
+            for t_lo, t_hi in spans
+            for b in range(t_lo // kL, (t_hi - 1) // kL + 1)
+        }
+    )
+    b_arr = np.asarray(blocks, dtype=np.int64)
+    b_max = int(b_arr[-1])
+    need = b_max * kM + kM + 2 * H
+    if len(xpad) < need:  # tail block margin past the padded signal
+        xpad = np.pad(xpad, (0, need - len(xpad)))
+    W = np.lib.stride_tricks.as_strided(
+        xpad,
+        shape=(b_max + 1, kM + 2 * H),
+        strides=(xpad.strides[0] * kM, xpad.strides[0]),
+    )[b_arr]
+    Y = W @ matd  # (n_blocks, kL) float64
+    pos = {b: i for i, b in enumerate(blocks)}
+    out_spans = []
+    for t_lo, t_hi in spans:
+        b_lo, b_hi = t_lo // kL, (t_hi - 1) // kL + 1
+        out = np.concatenate(
+            [Y[pos[b]] for b in range(b_lo, b_hi)]
+        )[t_lo - b_lo * kL : t_hi - b_lo * kL]
+        out_spans.append(out.astype(np.float32))
+    return out_spans
+
+
 def resample_window_canonical(
     mono_mid_f64: np.ndarray, mid_rate: int, t_lo: int, t_hi: int
 ) -> np.ndarray:
-    """Canonical 11025 Hz samples [t_lo, t_hi) of the device's block
-    polyphase resample: the same f32 filter matrix and block decomposition
-    (jax_impl._resample_inline), each output computed as a float64 dot and
-    cast to f32 — sample-deterministic regardless of backend."""
-    from .jax_impl import _RS_HALF_TAPS, _resample_plan
+    """Single-span convenience wrapper over _resample_spans."""
+    from .jax_impl import _RS_HALF_TAPS
 
-    L, M, k, mat = _resample_plan(mid_rate)
-    H = _RS_HALF_TAPS
-    kM, kL = k * M, k * L
-    matd = mat.astype(np.float64)
-    xpad = np.concatenate([np.zeros(H, np.float64), mono_mid_f64])
-    b_lo, b_hi = t_lo // kL, (t_hi - 1) // kL + 1
-    outs = []
-    for b in range(b_lo, b_hi):
-        w = xpad[b * kM : b * kM + kM + 2 * H]
-        if len(w) < kM + 2 * H:  # tail block margin past the padded signal
-            w = np.pad(w, (0, kM + 2 * H - len(w)))
-        outs.append(w @ matd)
-    out = np.concatenate(outs)[t_lo - b_lo * kL : t_hi - b_lo * kL]
-    return out.astype(np.float32)
+    xpad = np.concatenate(
+        [np.zeros(_RS_HALF_TAPS, np.float64), mono_mid_f64]
+    )
+    return _resample_spans(xpad, mid_rate, [(t_lo, t_hi)])[0]
 
 
 def _fingerprint_window_f32(mono_f32: np.ndarray, n_sub: int) -> np.ndarray:
@@ -157,6 +200,55 @@ def _fingerprint_window_f32(mono_f32: np.ndarray, n_sub: int) -> np.ndarray:
     return classify(normalized)[:n_sub]
 
 
+def ingest_hashes_ranges_oracle(
+    segment_i16: np.ndarray,
+    n_valid: int,
+    in_rate: int,
+    channels: int,
+    dec_factor: int,
+    nf_bucket: int,
+    ranges,
+) -> list:
+    """Canonical subfingerprints for several [lo, hi) ranges of one
+    fused-ingest lane, each recomputed from only the raw samples it depends
+    on. Subfingerprint i depends on resampled samples
+    [i*HOP_SIZE, (i+19)*HOP_SIZE + FRAME_SIZE) and the dependency window
+    starts on a hop boundary, so the pipeline run on that slice reproduces
+    the global values exactly (the integer and resample stages are
+    global-index-deterministic FIRs). The integer preparation, resample
+    padding, and f64 filter matrix are shared across ranges — recomputing
+    them per range made the rescan ~3x slower on flag-dense content."""
+    from .jax_impl import _ROWS_PER_FRAME, _RS_HALF_TAPS, _ingest_dims
+
+    mid_rate = in_rate // dec_factor
+    _, in_len_mid, out_needed = _ingest_dims(mid_rate, nf_bucket)
+    pad_len = (nf_bucket + _ROWS_PER_FRAME + 1) * HOP_SIZE
+    mono_mid = _ingest_prepare_mid(
+        segment_i16, n_valid, channels, dec_factor, in_len_mid
+    )
+    spans = []
+    for lo, hi in ranges:
+        t_lo = lo * HOP_SIZE
+        t_hi = min(pad_len, (hi - 1 + _RESCAN_EXTRA) * HOP_SIZE + FRAME_SIZE)
+        spans.append((t_lo, t_hi))
+    if mid_rate != SAMPLE_RATE:
+        # the device program truncates the resample output to out_needed
+        # (== pad_len) and zero-extends; t_hi <= pad_len so nothing to do
+        xpad = np.concatenate(
+            [np.zeros(_RS_HALF_TAPS, np.float64), mono_mid]
+        )
+        windows = _resample_spans(xpad, mid_rate, spans)
+    else:
+        flat = np.zeros(pad_len, np.float32)
+        take = min(len(mono_mid), pad_len)
+        flat[:take] = mono_mid[:take].astype(np.float32)
+        windows = [flat[t_lo:t_hi] for t_lo, t_hi in spans]
+    return [
+        _fingerprint_window_f32(w, hi - lo)
+        for w, (lo, hi) in zip(windows, ranges)
+    ]
+
+
 def ingest_hashes_window_oracle(
     segment_i16: np.ndarray,
     n_valid: int,
@@ -167,32 +259,11 @@ def ingest_hashes_window_oracle(
     lo: int,
     hi: int,
 ) -> np.ndarray:
-    """Canonical subfingerprints [lo, hi) of one fused-ingest lane,
-    recomputed from only the raw samples they depend on. Subfingerprint i
-    depends on resampled samples [i*HOP_SIZE, (i+19)*HOP_SIZE + FRAME_SIZE)
-    and the dependency window starts on a hop boundary, so the pipeline run
-    on that slice reproduces the global values exactly (the integer and
-    resample stages are global-index-deterministic FIRs)."""
-    from .jax_impl import _ROWS_PER_FRAME, _ingest_dims
-
-    mid_rate = in_rate // dec_factor
-    _, in_len_mid, out_needed = _ingest_dims(mid_rate, nf_bucket)
-    pad_len = (nf_bucket + _ROWS_PER_FRAME + 1) * HOP_SIZE
-    mono_mid = _ingest_prepare_mid(
-        segment_i16, n_valid, channels, dec_factor, in_len_mid
-    )
-    t_lo = lo * HOP_SIZE
-    t_hi = min(pad_len, (hi - 1 + _RESCAN_EXTRA) * HOP_SIZE + FRAME_SIZE)
-    if mid_rate != SAMPLE_RATE:
-        window = resample_window_canonical(mono_mid, mid_rate, t_lo, t_hi)
-        # the device program truncates the resample output to out_needed
-        # (== pad_len) and zero-extends; t_hi <= pad_len so nothing to do
-    else:
-        flat = np.zeros(pad_len, np.float32)
-        take = min(len(mono_mid), pad_len)
-        flat[:take] = mono_mid[:take].astype(np.float32)
-        window = flat[t_lo:t_hi]
-    return _fingerprint_window_f32(window, hi - lo)
+    """Single-range convenience wrapper over ingest_hashes_ranges_oracle."""
+    return ingest_hashes_ranges_oracle(
+        segment_i16, n_valid, in_rate, channels, dec_factor, nf_bucket,
+        [(lo, hi)],
+    )[0]
 
 
 def ingest_values_oracle(

@@ -185,17 +185,21 @@ def _fingerprint_core_inline(
 # backend-dependent (tools/hw_parity.py, measured r3): ~3.4e-7 on CPU f32
 # but up to 1.04e-4 on v5e — the MXU's f32-HIGHEST emulation does NOT
 # reproduce CPU f32 accumulation, so the old CPU-justified 1e-5 margin
-# could silently miss TPU borderlines (ADVICE r2 #3). Defaults are 10x+
-# over each backend's measured max. Flag rate is content-dependent
-# (measured at 1e-3: ~0% on music-like audio, ~26% on white noise — noise
-# concentrates classifier values near the trained thresholds).
-# NEEDLE_TPU_EXACT=0 disables flagging+rescan; NEEDLE_TPU_EXACT_EPS
-# overrides the margin.
+# could silently miss TPU borderlines (ADVICE r2 #3). Defaults are ~4x
+# over each backend's measured max (tools/hw_parity.py gates at
+# measured < eps/2 each run, so margin erosion is loud, not silent).
+# Flag rate is content-dependent and ~linear in the margin (measured on
+# v5e: ~0% on music-like audio at any margin; white noise ~26% at 1e-3;
+# the synthetic bench season 9% at 1e-3 / ~4% at 4e-4 — noise-like
+# content concentrates classifier values near the trained thresholds),
+# and every flagged hash costs host-oracle rescan time, so the margin is
+# a direct rescan-cost dial. NEEDLE_TPU_EXACT=0 disables flagging+rescan;
+# NEEDLE_TPU_EXACT_EPS overrides the margin.
 def _exact_eps() -> float:
     v = _os.environ.get("NEEDLE_TPU_EXACT_EPS")
     if v is not None:
         return float(v)
-    return 1e-5 if jax.default_backend() == "cpu" else 1e-3
+    return 1e-5 if jax.default_backend() == "cpu" else 4e-4
 
 
 def _exact_enabled() -> bool:
@@ -661,7 +665,7 @@ class IngestDispatcher:
         host oracle (ingest_oracle.ingest_hashes_window_oracle), making the
         returned hashes exactly the canonical basis's on every backend."""
         from ..tracing import span
-        from .ingest_oracle import ingest_hashes_window_oracle
+        from .ingest_oracle import ingest_hashes_ranges_oracle
         from .numpy_impl import merge_flag_ranges
 
         total = sum(
@@ -675,11 +679,13 @@ class IngestDispatcher:
                 if f is None or not len(f) or not f.any():
                     continue
                 segment, n_valid, nf_b = self._rescan_info[ref]
-                for lo, hi in merge_flag_ranges(np.nonzero(f)[0]):
-                    flat_results[i][lo:hi] = ingest_hashes_window_oracle(
-                        segment, n_valid, self.in_rate, self.channels,
-                        self.dec_factor, nf_b, lo, hi,
-                    )
+                ranges = merge_flag_ranges(np.nonzero(f)[0])
+                outs = ingest_hashes_ranges_oracle(
+                    segment, n_valid, self.in_rate, self.channels,
+                    self.dec_factor, nf_b, ranges,
+                )
+                for (lo, hi), o in zip(ranges, outs):
+                    flat_results[i][lo:hi] = o
 
 
 def fingerprint_ingest_jax_batch(
