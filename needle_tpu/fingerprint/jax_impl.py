@@ -59,6 +59,47 @@ from .numpy_impl import num_frames, num_subfingerprints
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# log2/atanh-series constants for _accurate_log32 (musl logf's split of ln 2:
+# HI has zeroed low mantissa bits so exponent * LN2_HI is exact in f32).
+_LN2_HI = np.float32(6.9313812256e-01)
+_LN2_LO = np.float32(9.0580006145e-06)
+_SQRT2_F32 = np.float32(1.4142135)
+
+
+def _accurate_log32(x):
+    """~2-ulp float32 natural log for strictly-positive normal x.
+
+    TPU's builtin log (and log1p) is a low-precision VPU approximation:
+    measured max |log_tpu(x) - log_f64(x)| is ~1.1e-4 over realistic
+    classifier operands — 300x worse than CPU f32 and the SOLE source of
+    the fingerprint pipeline's device-vs-canonical value error (per-stage
+    decomposition on v5e: normalized chroma agrees to 1e-7; recomputing
+    only the log of the device's own classifier sums in f64 moves the
+    result by 6.9e-5). Division is fine (2.5e-7 rel). So: decompose
+    x = m * 2^e with m in [sqrt(1/2), sqrt(2)), evaluate
+    log(m) = 2 atanh(t), t = (m-1)/(m+1), |t| <= 0.1716 via a 5-term odd
+    series (truncation < 4e-10 rel), and recombine with ln 2 split hi/lo.
+    Elementwise bit ops + 10 flops on (n_sub, 16)-sized arrays — cost is
+    invisible next to the DFT matmuls. Used on every backend so the
+    pipeline is one code path (on CPU it matches XLA's log to ~1 ulp)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    e = (bits >> jnp.uint32(23)).astype(jnp.int32) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000), jnp.float32
+    )
+    big = m > _SQRT2_F32
+    m = jnp.where(big, m * jnp.float32(0.5), m)
+    e = e + big.astype(jnp.int32)
+    t = (m - jnp.float32(1.0)) / (m + jnp.float32(1.0))
+    t2 = t * t
+    p = jnp.float32(1.0 / 9.0)
+    p = p * t2 + jnp.float32(1.0 / 7.0)
+    p = p * t2 + jnp.float32(1.0 / 5.0)
+    p = p * t2 + jnp.float32(1.0 / 3.0)
+    p = p * t2 + jnp.float32(1.0)
+    ef = e.astype(jnp.float32)
+    return ef * _LN2_HI + (jnp.float32(2.0) * t * p + ef * _LN2_LO)
+
 # 4096 = 3 * 1365 + 1
 _ROWS_PER_FRAME = FRAME_SIZE // HOP_SIZE  # 3
 _FRAME_REMAINDER = FRAME_SIZE - _ROWS_PER_FRAME * HOP_SIZE  # 1
@@ -181,25 +222,24 @@ def _fingerprint_core_inline(
 # Borderline margin for the bit-exact rescan: a device f32 classifier value
 # (or chroma norm) within this distance of a quantizer (or zeroing) threshold
 # is flagged and its subfingerprint recomputed with the host oracle. The
-# margin must bound the TRUE device-vs-oracle value error, which is
-# backend-dependent (tools/hw_parity.py, measured r3): ~3.4e-7 on CPU f32
-# but up to 1.04e-4 on v5e — the MXU's f32-HIGHEST emulation does NOT
-# reproduce CPU f32 accumulation, so the old CPU-justified 1e-5 margin
-# could silently miss TPU borderlines (ADVICE r2 #3). Defaults are ~4x
-# over each backend's measured max (tools/hw_parity.py gates at
-# measured < eps/2 each run, so margin erosion is loud, not silent).
-# Flag rate is content-dependent and ~linear in the margin (measured on
-# v5e: ~0% on music-like audio at any margin; white noise ~26% at 1e-3;
-# the synthetic bench season 9% at 1e-3 / ~4% at 4e-4 — noise-like
-# content concentrates classifier values near the trained thresholds),
-# and every flagged hash costs host-oracle rescan time, so the margin is
-# a direct rescan-cost dial. NEEDLE_TPU_EXACT=0 disables flagging+rescan;
-# NEEDLE_TPU_EXACT_EPS overrides the margin.
+# margin must bound the TRUE device-vs-oracle value error (tools/hw_parity.py
+# gates at measured < eps/2 each run, so margin erosion is loud, not silent).
+# History: v5e initially measured 1.04e-4 — 300x the CPU's 3.4e-7 — which a
+# per-stage decomposition traced ENTIRELY to the builtin TPU log's ~1e-4
+# approximation error (ADVICE r2 #3's risk, realized). With _accurate_log32
+# the measured max is backend-independent again (3.6e-7 pre-decoded /
+# 4.4e-7 fused-ingest on v5e, 3.4e-7 on CPU f32), so one margin with ~23x
+# headroom serves every backend. Flag rate is content-dependent and ~linear
+# in the margin (v5e: ~0% on music at any margin; the noise-like synthetic
+# bench season ~9% at 1e-3, ~4% at 4e-4, ~0.1% at 1e-5), and every flagged
+# hash costs host-oracle rescan time, so the margin is a direct rescan-cost
+# dial. NEEDLE_TPU_EXACT=0 disables flagging+rescan; NEEDLE_TPU_EXACT_EPS
+# overrides the margin.
 def _exact_eps() -> float:
     v = _os.environ.get("NEEDLE_TPU_EXACT_EPS")
     if v is not None:
         return float(v)
-    return 1e-5 if jax.default_backend() == "cpu" else 4e-4
+    return 1e-5
 
 
 def _exact_enabled() -> bool:
@@ -230,7 +270,9 @@ def _post_chroma(chroma, W_cls, thresholds, n_frames, with_flags=False,
     )
     ab = jnp.dot(windows, W_cls, precision=_PREC)
     a, b = ab[:, 0::2], ab[:, 1::2]
-    values = jnp.log((1.0 + a) / (1.0 + b))
+    # SubtractLog via _accurate_log32: the builtin TPU log's ~1e-4 error
+    # was the entire device-vs-canonical value error (see _accurate_log32).
+    values = _accurate_log32((1.0 + a) / (1.0 + b))
     if with_values:
         return values, norm[:, 0]
     q = (

@@ -89,6 +89,32 @@ def test_classifier_values_extraction_matches_oracle():
     assert v0.shape == (0, 16) and n0.shape == (0,)
 
 
+def test_accurate_log32_ulp_accuracy():
+    """_accurate_log32 (the software log that replaced the builtin TPU
+    log's ~1e-4 approximation — the sole source of the former TPU margin
+    asymmetry) stays within ~2 ulp of float64 log across the classifier
+    operand range, including the cancellation-prone x ~= 1 region."""
+    import jax
+
+    from needle_tpu.fingerprint.jax_impl import _accurate_log32
+
+    rng = np.random.default_rng(11)
+    xs = np.concatenate(
+        [
+            np.exp(rng.uniform(np.log(1e-3), np.log(1e3), size=200000)),
+            1.0 + rng.normal(0, 1e-4, size=100000),
+            [1.0, np.nextafter(1.0, 0.0), np.nextafter(1.0, 2.0), 0.5, 2.0],
+        ]
+    ).astype(np.float32)
+    xs = xs[xs > 0]
+    got = np.asarray(jax.jit(_accurate_log32)(xs)).astype(np.float64)
+    ref = np.log(xs.astype(np.float64))
+    err = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
+    assert err.max() < 5e-7
+    near_one = np.abs(ref) < 0.1
+    assert np.abs(got - ref)[near_one].max() < 5e-8
+
+
 def test_fingerprint_jax_batch_variable_lengths():
     rng = np.random.default_rng(5)
     monos = [_music(rng, s) for s in (8, 20, 33.7, 12)]

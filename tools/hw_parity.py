@@ -18,10 +18,11 @@ multiple runs per diagonal, tiny sequences, near-threshold bit flips).
 It also validates the NEEDLE_TPU_EXACT_EPS borderline-rescan margin ON
 HARDWARE (ADVICE r2 #3): max |values_device - values_oracle| and
 |norm_device - norm_oracle| over synthetic audio, asserting the measured
-error sits below half of THIS backend's flagging margin (the default is
-backend-aware — 1e-5 on CPU, 1e-3 on TPU, set from each backend's
-measured max error; see fingerprint/jax_impl._exact_eps) — plus an
-end-to-end hash bit-exactness check on music and white noise.
+error sits below half of the flagging margin (1e-5 on every backend since
+_accurate_log32 replaced the builtin TPU log, whose ~1e-4 approximation
+error was the whole TPU-vs-CPU asymmetry; see
+fingerprint/jax_impl._exact_eps) — plus an end-to-end hash bit-exactness
+check on music and white noise.
 
 Prints ONE JSON line. Record the result in STATUS.md.
 
