@@ -83,18 +83,26 @@ def _ingest_prepare_mid(
     dec_factor: int,
     in_len_mid: int,
 ) -> np.ndarray:
-    """Raw interleaved segment -> float64 mono at the mid rate, replicating
+    """Raw interleaved segment -> INTEGER mono at the mid rate, replicating
     the device lane preparation exactly: zero-extend to the bucket's raw
     length, zero frames >= the valid count, integer half-band decimation
-    with the same inter-stage masking, integer downmix."""
+    with the same inter-stage masking, integer downmix. Returns an integer
+    dtype (i16 for the pass-through mono case, i32 otherwise) — every
+    sample is an exact integer, so downstream float conversion can happen
+    per-block instead of whole-lane (the whole-lane f64 cast + pad copies
+    were ~250 MB of memcpy per lane and dominated rescan cost once the
+    1e-5 margin made flags rare)."""
     from .decimate import _HB_MAIN, _HB_RELAXED, _halfband_q14
 
     raw_len = in_len_mid * channels * dec_factor
     seg = np.zeros(raw_len, np.int16)
     take = min(len(segment_i16), raw_len)
     seg[:take] = segment_i16[:take]
-    x = seg.reshape(-1, channels).astype(np.int32)
     nv = min(int(n_valid), raw_len) // channels
+    if channels == 1 and dec_factor == 1:
+        seg[nv:] = 0
+        return seg  # int16 view of the exact device lane input
+    x = seg.reshape(-1, channels).astype(np.int32)
     x[nv:] = 0
     if dec_factor > 1:
         nv1 = nv
@@ -110,7 +118,7 @@ def _ingest_prepare_mid(
         mono = np.where(s < 0, -((-s) >> 1), s >> 1)
     else:
         mono = x[:, 0]
-    return mono.astype(np.float64)
+    return np.ascontiguousarray(mono)
 
 
 @_functools.lru_cache(maxsize=None)
@@ -139,17 +147,17 @@ def _resample_matd(mid_rate: int):
     return L, M, k, matd
 
 
-def _resample_spans(xpad: np.ndarray, mid_rate: int, spans) -> list:
+def _resample_spans(xpad_int: np.ndarray, mid_rate: int, spans) -> list:
     """Canonical 11025 Hz samples for several [t_lo, t_hi) output spans of
     the device's block polyphase resample (jax_impl._resample_inline):
     each output is the float64 dot of its block's input window with its
     filter column, cast to f32 — sample-deterministic regardless of
     backend. All blocks needed by all spans are gathered (deduplicated)
-    into ONE row-batched GEMM, so the filter matrix streams from memory
-    once instead of once per block — the per-block vector-matrix form was
-    memory-bound on the matrix and dominated rescan cost at scale. `xpad`
-    is the half-taps-zero-padded mid-rate mono signal, prepared ONCE by
-    the caller (re-padding per span was the other dominant rescan cost)."""
+    into ONE row-batched product, so the filter operator streams from
+    memory once instead of once per block. `xpad_int` is the
+    half-taps-zero-padded mid-rate INTEGER mono signal, prepared ONCE by
+    the caller; only the gathered block windows are cast to f64 (exact —
+    the samples are integers), so whole-lane float copies never happen."""
     from .jax_impl import _RS_HALF_TAPS
 
     L, M, k, matd = _resample_matd(mid_rate)
@@ -165,13 +173,14 @@ def _resample_spans(xpad: np.ndarray, mid_rate: int, spans) -> list:
     b_arr = np.asarray(blocks, dtype=np.int64)
     b_max = int(b_arr[-1])
     need = b_max * kM + kM + 2 * H
-    if len(xpad) < need:  # tail block margin past the padded signal
-        xpad = np.pad(xpad, (0, need - len(xpad)))
+    if len(xpad_int) < need:  # tail block margin past the padded signal
+        xpad_int = np.pad(xpad_int, (0, need - len(xpad_int)))
+    it = xpad_int.strides[0]
     W = np.lib.stride_tricks.as_strided(
-        xpad,
+        xpad_int,
         shape=(b_max + 1, kM + 2 * H),
-        strides=(xpad.strides[0] * kM, xpad.strides[0]),
-    )[b_arr]
+        strides=(it * kM, it),
+    )[b_arr].astype(np.float64)
     Y = np.asarray(W @ matd)  # (n_blocks, kL) float64
     pos = {b: i for i, b in enumerate(blocks)}
     out_spans = []
@@ -185,13 +194,13 @@ def _resample_spans(xpad: np.ndarray, mid_rate: int, spans) -> list:
 
 
 def resample_window_canonical(
-    mono_mid_f64: np.ndarray, mid_rate: int, t_lo: int, t_hi: int
+    mono_mid_int: np.ndarray, mid_rate: int, t_lo: int, t_hi: int
 ) -> np.ndarray:
     """Single-span convenience wrapper over _resample_spans."""
     from .jax_impl import _RS_HALF_TAPS
 
     xpad = np.concatenate(
-        [np.zeros(_RS_HALF_TAPS, np.float64), mono_mid_f64]
+        [np.zeros(_RS_HALF_TAPS, mono_mid_int.dtype), mono_mid_int]
     )
     return _resample_spans(xpad, mid_rate, [(t_lo, t_hi)])[0]
 
@@ -251,7 +260,7 @@ def ingest_hashes_ranges_oracle(
         # the device program truncates the resample output to out_needed
         # (== pad_len) and zero-extends; t_hi <= pad_len so nothing to do
         xpad = np.concatenate(
-            [np.zeros(_RS_HALF_TAPS, np.float64), mono_mid]
+            [np.zeros(_RS_HALF_TAPS, mono_mid.dtype), mono_mid]
         )
         windows = _resample_spans(xpad, mid_rate, spans)
     else:
