@@ -404,7 +404,9 @@ def main():
     else:
         probe = {"placement": os.environ["NEEDLE_TPU_DECIMATE"]}
 
-    analyze_times, search_times, trial_stages = [], [], []
+    from needle_tpu._jax_setup import h2d_bandwidth_mb_s
+
+    analyze_times, search_times, trial_stages, trial_h2d = [], [], [], []
     results = None
     for trial in range(max(1, TRIALS)):
         snap0 = _stage_snapshot()
@@ -420,6 +422,11 @@ def main():
         trial_stages.append(
             {**_stage_delta(snap0, snap1), **_stage_delta(snap1, snap2)}
         )
+        # Re-probe the transport each trial: eras collapse MID-RUN (r3
+        # recorded 79 MB/s at start degrading ~10x within minutes, turning
+        # 8 s analyze trials into 100+ s ones), so the artifact carries the
+        # per-trial era and slow trials are attributable to the wire.
+        trial_h2d.append(round(h2d_bandwidth_mb_s(reprobe=True), 1))
         # On very slow transport eras retrials would risk the caller's
         # timeout; one measurement is better than none, and the total
         # trial budget stays bounded on mid-slow eras too.
@@ -427,20 +434,37 @@ def main():
             break
         if sum(analyze_times) + sum(search_times) > 360.0:
             break
+        # Era deteriorating: two consecutive trials at >2x the best total
+        # can't improve the min and each burns 100+ s — stop early. (The
+        # min is the metric; extra trials only help on stable/improving
+        # eras.)
+        totals = [a + s for a, s in zip(analyze_times, search_times)]
+        if (
+            len(totals) >= 3
+            and totals[-1] > 2.0 * min(totals)
+            and totals[-2] > 2.0 * min(totals)
+        ):
+            break
 
     t_analyze = min(analyze_times)
     t_search = min(search_times)
     total = t_analyze + t_search
     acc = accuracy(results, paths, op_truth, end_truth)
 
-    from needle_tpu._jax_setup import h2d_bandwidth_mb_s
     from needle_tpu.tracing import report_metrics
 
     report_metrics()  # stage table when NEEDLE_TPU_TIMINGS=1
     # Record the transport era so rounds are comparable: the tunnel's
     # host->device bandwidth swings 9 MB/s - 1.3 GB/s between sessions and
-    # dominates analyze wall time (VERDICT r1, weak #7).
-    h2d = h2d_bandwidth_mb_s()
+    # dominates analyze wall time (VERDICT r1, weak #7). Headline h2d is
+    # the probe taken right after the BEST trial (the one the min-over-
+    # trials metric reflects); the full per-trial list is also emitted.
+    if trial_h2d:
+        best_i = min(range(len(analyze_times)),
+                     key=lambda i: analyze_times[i] + search_times[i])
+        h2d = trial_h2d[best_i]
+    else:
+        h2d = h2d_bandwidth_mb_s()
 
     minutes_audio = NUM_EPISODES * EPISODE_SECS / 60.0
     print(
@@ -468,6 +492,7 @@ def main():
                 **probe,
                 "analyze_trials_s": [round(t, 3) for t in analyze_times],
                 "search_trials_s": [round(t, 3) for t in search_times],
+                "h2d_mb_s_per_trial": trial_h2d,
                 "stages_per_trial_s": trial_stages,
                 "trials": TRIALS,
             }

@@ -14,12 +14,19 @@ _initialized = False
 _h2d_bandwidth = None
 
 
-def h2d_bandwidth_mb_s() -> float:
+def h2d_bandwidth_mb_s(reprobe: bool = False) -> float:
     """Measured host->device bandwidth (MB/s), probed once per process with
     a 16 MB transfer. Tunneled transports vary by >50x between sessions;
     ingest strategies (e.g. host decimation before upload) adapt to this.
-    Override with NEEDLE_TPU_H2D_MBS for testing."""
+    Override with NEEDLE_TPU_H2D_MBS for testing.
+
+    reprobe=True re-measures (still honoring the env override): eras can
+    collapse MID-RUN (r3 measured 79 MB/s at process start degrading to
+    ~7 MB/s within minutes), so long-running callers (bench trials) re-probe
+    to attribute per-trial walls to the transport."""
     global _h2d_bandwidth
+    if reprobe:
+        _h2d_bandwidth = None
     if _h2d_bandwidth is None:
         env = os.environ.get("NEEDLE_TPU_H2D_MBS")
         if env:
