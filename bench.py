@@ -147,6 +147,34 @@ def pick_decimation_placement():
     }
 
 
+def wait_for_usable_era() -> dict:
+    """Bounded wait for a non-collapsed transport before measuring.
+
+    The tunnel's h2d bandwidth swings 9 MB/s - 1.3 GB/s and can collapse
+    for minutes at a time (r3 recorded 79 MB/s degrading ~10x mid-run,
+    then recovering); trialing during a collapse records pure era noise.
+    Probe the wire; below the gate, sleep and re-probe within a budget.
+    Fully visible in the artifact: every probe value and the total wait
+    are emitted, and the gate never blocks past its budget.
+    """
+    from needle_tpu._jax_setup import h2d_bandwidth_mb_s
+
+    gate = float(os.environ.get("NEEDLE_BENCH_ERA_GATE_MBS", "25"))
+    budget = float(os.environ.get("NEEDLE_BENCH_ERA_WAIT_S", "240"))
+    t0 = time.time()
+    probes = []
+    while True:
+        h = h2d_bandwidth_mb_s(reprobe=True)
+        probes.append(round(h, 1))
+        if h >= gate or time.time() - t0 + 20.0 > budget:
+            break
+        time.sleep(20)
+    return {
+        "era_wait_s": round(time.time() - t0, 1),
+        "era_wait_probes_mb_s": probes,
+    }
+
+
 # Stage names worth surfacing in the bench JSON (tracing spans recorded by
 # the engines; see CLAUDE.md / VERDICT r2 weak #3 — slow trials must be
 # attributable from the artifact alone).
@@ -399,10 +427,12 @@ def main():
     hash_duration = Duration.from_secs_f32(np.float32(0.3))
 
     warm_device()
+    era = wait_for_usable_era()
     if "NEEDLE_TPU_DECIMATE" not in os.environ:
         probe = pick_decimation_placement()
     else:
         probe = {"placement": os.environ["NEEDLE_TPU_DECIMATE"]}
+    probe.update(era)
 
     from needle_tpu._jax_setup import h2d_bandwidth_mb_s
 
