@@ -218,6 +218,56 @@ def _stage_delta(before, after):
     return out
 
 
+def arm_transport_watchdog():
+    """Bail out with a diagnostic artifact line if the transport is DEAD.
+
+    Every in-process budget (warm_device's 900 s deadline, the era gate,
+    the trial caps) only fires BETWEEN device calls — but when the tunnel
+    agent itself has died (observed r3: /root/.tpu_init.py gone, no axon
+    port), device discovery or the first device_put blocks forever
+    *inside* the runtime and no deadline ever runs. A daemon thread
+    prints one attributable JSON line and exits instead of letting the
+    driver's timeout record nothing. Disarmed by the first successful
+    device->host roundtrip (after that, slowness is handled by the
+    normal budgets)."""
+    import threading
+
+    budget = float(os.environ.get("NEEDLE_BENCH_WATCHDOG_S", "1500"))
+    t0 = time.time()
+
+    def fire():
+        if _WATCHDOG_DISARM.wait(budget):
+            return
+        print(
+            json.dumps(
+                {
+                    "metric": "bench aborted: TPU transport unreachable",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": (
+                        "no device->host roundtrip completed within "
+                        f"{int(time.time() - t0)} s — transport/tunnel-agent "
+                        "outage, not a framework failure; rerun when the "
+                        "axon tunnel is back"
+                    ),
+                    "watchdog_budget_s": budget,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
+# Set by warm_device after the first completed roundtrip; pre-set here so
+# configs that never arm the watchdog are unaffected.
+import threading as _threading
+
+_WATCHDOG_DISARM = _threading.Event()
+
+
 def warm_device():
     """Absorb transport cold-start before timing: the first device->host
     transfer of a process can stall for minutes on tunneled TPU transports;
@@ -228,6 +278,7 @@ def warm_device():
     while time.time() < deadline:
         t0 = time.time()
         np.asarray(jax.device_put(np.ones(64, np.float32)) * 2.0)
+        _WATCHDOG_DISARM.set()  # transport is alive; budgets take over
         if time.time() - t0 < 0.3:
             return
 
@@ -402,6 +453,7 @@ def small3_config() -> None:
 
 
 def main():
+    arm_transport_watchdog()
     config = os.environ.get("NEEDLE_BENCH_CONFIG", "")
     if config.startswith("search"):
         search_only_config(int(config[len("search"):] or 300))

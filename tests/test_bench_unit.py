@@ -40,6 +40,54 @@ def test_era_gate_bounded_on_collapsed_wire(monkeypatch):
     assert out["era_wait_s"] < 5.0
 
 
+def test_transport_watchdog_fires_on_dead_transport():
+    """With the tunnel agent dead, the first device call blocks forever
+    inside the runtime; the watchdog must print one diagnostic JSON line
+    and exit 2 instead of hanging until the driver's timeout."""
+    import json
+    import subprocess
+
+    code = (
+        "import os, time, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['NEEDLE_BENCH_WATCHDOG_S'] = '0.5'\n"
+        "import bench\n"
+        "bench.arm_transport_watchdog()\n"
+        "time.sleep(30)  # simulated hang inside a device call\n"
+    ) % str(REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25,
+    )
+    assert proc.returncode == 2
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["value"] is None
+    assert "transport" in line["metric"]
+    assert "outage" in line["error"]
+
+
+def test_transport_watchdog_disarmed_by_roundtrip():
+    """Once any roundtrip completes, the watchdog must never fire."""
+    import subprocess
+
+    code = (
+        "import os, time, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['NEEDLE_BENCH_WATCHDOG_S'] = '0.5'\n"
+        "import bench\n"
+        "bench.arm_transport_watchdog()\n"
+        "bench._WATCHDOG_DISARM.set()  # what warm_device does on success\n"
+        "time.sleep(1.5)\n"
+        "print('survived')\n"
+    ) % str(REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25,
+    )
+    assert proc.returncode == 0
+    assert "survived" in proc.stdout
+
+
 def test_h2d_reprobe_resets_cache(monkeypatch):
     sys.path.insert(0, str(REPO))
     from needle_tpu import _jax_setup
