@@ -229,9 +229,12 @@ def arm_transport_watchdog():
     prints one attributable JSON line and exits instead of letting the
     driver's timeout record nothing. Disarmed by the first successful
     device->host roundtrip (after that, slowness is handled by the
-    normal budgets)."""
+    normal budgets). Idempotent — only the first call arms."""
     import threading
 
+    if _WATCHDOG_ARMED.is_set():
+        return
+    _WATCHDOG_ARMED.set()
     budget = float(os.environ.get("NEEDLE_BENCH_WATCHDOG_S", "1500"))
     t0 = time.time()
 
@@ -266,6 +269,7 @@ def arm_transport_watchdog():
 import threading as _threading
 
 _WATCHDOG_DISARM = _threading.Event()
+_WATCHDOG_ARMED = _threading.Event()
 
 
 def warm_device():
@@ -274,6 +278,10 @@ def warm_device():
     loop small round trips until the device answers quickly."""
     import jax
 
+    # Arm here, immediately before the process's first device op, so a
+    # slow pre-device host phase (cold season-cache generation) can never
+    # eat the watchdog budget.
+    arm_transport_watchdog()
     deadline = time.time() + 900
     while time.time() < deadline:
         t0 = time.time()
@@ -453,7 +461,6 @@ def small3_config() -> None:
 
 
 def main():
-    arm_transport_watchdog()
     config = os.environ.get("NEEDLE_BENCH_CONFIG", "")
     if config.startswith("search"):
         search_only_config(int(config[len("search"):] or 300))
