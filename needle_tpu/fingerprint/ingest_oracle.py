@@ -76,6 +76,91 @@ def decimate2_hb_np(x_2d: np.ndarray, odd_q, c0: int) -> np.ndarray:
     return np.clip(y, -32768, 32767).astype(np.int32)
 
 
+def _hb_stage_window(
+    x: np.ndarray, in_lo: int, out_lo: int, out_hi: int, odd_q, c0: int
+) -> np.ndarray:
+    """Outputs [out_lo, out_hi) of the half-band decimator given a local
+    input slice `x` covering global input rows [in_lo, in_lo + len(x)).
+    Output row k reads input rows 2k-H .. 2k+H (decimate2_hb_np's exact
+    integer semantics); the caller materializes zeros for out-of-domain
+    global rows, so the slice must cover [2*out_lo - H, 2*(out_hi-1)+H]."""
+    x64 = x.astype(np.int64)
+    n_out = out_hi - out_lo
+
+    def sl(off: int) -> np.ndarray:
+        o = 2 * out_lo + off - in_lo
+        return x64[o : o + 2 * n_out : 2]
+
+    acc = np.int64(c0) * sl(0)
+    for m, q in enumerate(np.asarray(odd_q)):
+        d = 2 * m + 1
+        acc = acc + np.int64(q) * (sl(-d) + sl(d))
+    y = (acc + 8192) >> 14
+    return np.clip(y, -32768, 32767).astype(np.int32)
+
+
+def _prepare_mid_window(
+    segment_i16: np.ndarray,
+    n_valid: int,
+    channels: int,
+    dec_factor: int,
+    in_len_mid: int,
+    g_lo: int,
+    g_hi: int,
+) -> np.ndarray:
+    """mono_mid[g_lo:g_hi] of _ingest_prepare_mid (int32), computed from
+    only the raw rows this window depends on — O(window), not O(lane).
+    Every stage is a global-index-deterministic FIR, so evaluating it on a
+    slice with enough context (H rows per half-band stage) reproduces the
+    whole-lane values exactly; out-of-domain global indices (g < 0, past
+    the lane, or >= the stage's valid count) are materialized as zeros,
+    matching the whole-lane zero-extension and inter-stage masking.
+    Indices may extend past the lane (the caller clips nothing): those
+    positions are zeros, exactly like the whole-lane path's padding."""
+    from .decimate import _HB_MAIN, _HB_RELAXED, _halfband_q14
+
+    stages = []
+    if dec_factor == 4:
+        stages = [_halfband_q14(*_HB_RELAXED), _halfband_q14(*_HB_MAIN)]
+    elif dec_factor == 2:
+        stages = [_halfband_q14(*_HB_MAIN)]
+    raw_len = in_len_mid * channels * dec_factor
+    n_rows = in_len_mid * dec_factor
+    nv = min(int(n_valid), raw_len) // channels
+    # valid-count mask per stage output (the whole-lane path's x[nv:] = 0)
+    nvs = [nv]
+    for _ in stages:
+        nvs.append(nvs[-1] // 2)
+    # dependency intervals, innermost (raw rows) first
+    need = [(g_lo, g_hi)]
+    for odd_q, _c0 in reversed(stages):
+        H = 2 * len(odd_q) - 1
+        lo, hi = need[-1]
+        need.append((2 * lo - H, 2 * (hi - 1) + H + 1))
+    need.reverse()
+
+    r_lo, r_hi = need[0]
+    buf = np.zeros((r_hi - r_lo) * channels, np.int16)
+    a = max(0, r_lo)
+    s_lo = a * channels
+    s_hi = min(r_hi * channels, raw_len, len(segment_i16))
+    if s_hi > s_lo:
+        o = (a - r_lo) * channels
+        buf[o : o + (s_hi - s_lo)] = segment_i16[s_lo:s_hi]
+    x = buf.reshape(-1, channels).astype(np.int32)
+    gidx = np.arange(r_lo, r_hi)
+    x[(gidx < 0) | (gidx >= nv)] = 0
+    for s, (odd_q, c0) in enumerate(stages):
+        out_lo, out_hi = need[s + 1]
+        x = _hb_stage_window(x, need[s][0], out_lo, out_hi, odd_q, c0)
+        gidx = np.arange(out_lo, out_hi)
+        x[(gidx < 0) | (gidx >= nvs[s + 1])] = 0
+    if channels == 2:
+        ssum = x[:, 0] + x[:, 1]
+        return np.where(ssum < 0, -((-ssum) >> 1), ssum >> 1)
+    return np.ascontiguousarray(x[:, 0])
+
+
 def _ingest_prepare_mid(
     segment_i16: np.ndarray,
     n_valid: int,
@@ -240,17 +325,17 @@ def ingest_hashes_ranges_oracle(
     [i*HOP_SIZE, (i+19)*HOP_SIZE + FRAME_SIZE) and the dependency window
     starts on a hop boundary, so the pipeline run on that slice reproduces
     the global values exactly (the integer and resample stages are
-    global-index-deterministic FIRs). The integer preparation, resample
-    padding, and f64 filter matrix are shared across ranges — recomputing
-    them per range made the rescan ~3x slower on flag-dense content."""
+    global-index-deterministic FIRs). Each span's mid-rate mono is computed
+    from ONLY the raw rows it depends on (_prepare_mid_window): the
+    whole-lane integer preparation cost ~2.5 s of numpy decimation per
+    600 s lane to recompute a handful of hashes, dominating rescan wall;
+    windowed, the cost is O(flagged width), independent of lane length.
+    The f64 filter matrix stays cached across ranges (_resample_matd)."""
     from .jax_impl import _ROWS_PER_FRAME, _RS_HALF_TAPS, _ingest_dims
 
     mid_rate = in_rate // dec_factor
     _, in_len_mid, out_needed = _ingest_dims(mid_rate, nf_bucket)
     pad_len = (nf_bucket + _ROWS_PER_FRAME + 1) * HOP_SIZE
-    mono_mid = _ingest_prepare_mid(
-        segment_i16, n_valid, channels, dec_factor, in_len_mid
-    )
     spans = []
     for lo, hi in ranges:
         t_lo = lo * HOP_SIZE
@@ -259,15 +344,41 @@ def ingest_hashes_ranges_oracle(
     if mid_rate != SAMPLE_RATE:
         # the device program truncates the resample output to out_needed
         # (== pad_len) and zero-extends; t_hi <= pad_len so nothing to do
-        xpad = np.concatenate(
-            [np.zeros(_RS_HALF_TAPS, mono_mid.dtype), mono_mid]
-        )
-        windows = _resample_spans(xpad, mid_rate, spans)
+        L, M, k, matd = _resample_matd(mid_rate)
+        H = _RS_HALF_TAPS
+        kM, kL = k * M, k * L
+        windows = []
+        for t_lo, t_hi in spans:
+            b_lo, b_hi = t_lo // kL, (t_hi - 1) // kL + 1
+            # block b reads xpad[b*kM : b*kM + kM + 2H]; xpad is the
+            # H-zero-prefixed mono, so mono global rows
+            # [b_lo*kM - H, (b_hi-1)*kM + kM + H) cover every block
+            w = _prepare_mid_window(
+                segment_i16, n_valid, channels, dec_factor, in_len_mid,
+                b_lo * kM - H, (b_hi - 1) * kM + kM + H,
+            ).astype(np.float64)
+            it = w.strides[0]
+            W = np.ascontiguousarray(
+                np.lib.stride_tricks.as_strided(
+                    w,
+                    shape=(b_hi - b_lo, kM + 2 * H),
+                    strides=(it * kM, it),
+                )
+            )
+            Y = np.asarray(W @ matd).reshape(-1)  # (n_blocks * kL,) f64
+            windows.append(
+                Y[t_lo - b_lo * kL : t_hi - b_lo * kL].astype(np.float32)
+            )
     else:
-        flat = np.zeros(pad_len, np.float32)
-        take = min(len(mono_mid), pad_len)
-        flat[:take] = mono_mid[:take].astype(np.float32)
-        windows = [flat[t_lo:t_hi] for t_lo, t_hi in spans]
+        # no resample stage: the span reads mono_mid[t_lo:t_hi] directly
+        # (positions past the lane are zeros via the valid-count mask)
+        windows = [
+            _prepare_mid_window(
+                segment_i16, n_valid, channels, dec_factor, in_len_mid,
+                t_lo, t_hi,
+            ).astype(np.float32)
+            for t_lo, t_hi in spans
+        ]
     return [
         _fingerprint_window_f32(w, hi - lo)
         for w, (lo, hi) in zip(windows, ranges)
@@ -345,9 +456,22 @@ def ingest_hashes_full_oracle(
     nf_bucket: int,
     n_sub: int,
 ) -> np.ndarray:
-    """Whole-lane canonical hashes (testing: the window recompute above must
-    agree with this for any [lo, hi) split)."""
-    return ingest_hashes_window_oracle(
-        segment_i16, n_valid, in_rate, channels, dec_factor, nf_bucket,
-        0, n_sub,
+    """Whole-lane canonical hashes, evaluated WITHOUT the dependency-window
+    machinery (whole-lane integer prepare + full-range resample) so it
+    stays an independent check of the windowed recompute: the window
+    oracle must agree with this for any [lo, hi) split."""
+    from .jax_impl import _ROWS_PER_FRAME, _ingest_dims
+
+    mid_rate = in_rate // dec_factor
+    _, in_len_mid, _ = _ingest_dims(mid_rate, nf_bucket)
+    pad_len = (nf_bucket + _ROWS_PER_FRAME + 1) * HOP_SIZE
+    mono_mid = _ingest_prepare_mid(
+        segment_i16, n_valid, channels, dec_factor, in_len_mid
     )
+    if mid_rate != SAMPLE_RATE:
+        mono = resample_window_canonical(mono_mid, mid_rate, 0, pad_len)
+    else:
+        mono = np.zeros(pad_len, np.float32)
+        take = min(len(mono_mid), pad_len)
+        mono[:take] = mono_mid[:take].astype(np.float32)
+    return _fingerprint_window_f32(mono, n_sub)

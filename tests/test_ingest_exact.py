@@ -86,19 +86,31 @@ def test_fused_ingest_respects_n_valid_masking():
     np.testing.assert_array_equal(out, out2)
 
 
-def test_window_oracle_consistency():
-    """Recomputing any [lo, hi) slice from only its dependency window must
-    reproduce the full oracle's values (the rescan relies on this)."""
+@pytest.mark.parametrize(
+    "in_rate,channels,valid_frac",
+    [
+        (44100, 2, 1.0),  # factor-4 cascade, stereo
+        (16000, 1, 1.0),  # factor-2 half-band, mono
+        (16000, 1, 0.7),  # valid-count masking inside the lane
+        (11025, 1, 1.0),  # no resample stage (direct mono window)
+        (22050, 2, 0.8),  # factor-2 stereo + masking
+    ],
+)
+def test_window_oracle_consistency(in_rate, channels, valid_frac):
+    """Recomputing any [lo, hi) slice from only its dependency window
+    (_prepare_mid_window + per-span resample) must reproduce the full
+    oracle's values — the rescan relies on this for every rate family,
+    decimation cascade, and valid-count mask position."""
     rng = np.random.default_rng(11)
-    in_rate, channels = 44100, 2
-    seg = _noise(rng, in_rate * 2 * 10)
-    dec, nf_b, n_sub = _lane_geometry(len(seg), len(seg), in_rate, channels)
+    seg = _noise(rng, in_rate * channels * 10)
+    n_valid = int(len(seg) * valid_frac) // channels * channels
+    dec, nf_b, n_sub = _lane_geometry(len(seg), n_valid, in_rate, channels)
     full = ingest_hashes_full_oracle(
-        seg, len(seg), in_rate, channels, dec, nf_b, n_sub
+        seg, n_valid, in_rate, channels, dec, nf_b, n_sub
     )
     for lo, hi in [(0, 5), (17, 18), (n_sub - 4, n_sub), (3, n_sub - 3)]:
         win = ingest_hashes_window_oracle(
-            seg, len(seg), in_rate, channels, dec, nf_b, lo, hi
+            seg, n_valid, in_rate, channels, dec, nf_b, lo, hi
         )
         np.testing.assert_array_equal(win, full[lo:hi])
 
