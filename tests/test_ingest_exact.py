@@ -147,6 +147,49 @@ def test_rescan_flags_fire_on_noise(monkeypatch):
     np.testing.assert_array_equal(out_default, out_all)
 
 
+@pytest.mark.parametrize(
+    "in_rate,channels,dec_factor",
+    [(44100, 2, 4), (16000, 1, 2), (22050, 2, 2), (11025, 1, 1), (8000, 2, 1)],
+)
+def test_prepare_mid_window_matches_whole_lane(in_rate, channels, dec_factor):
+    """_prepare_mid_window must equal the whole-lane _ingest_prepare_mid on
+    any slice, including windows reaching before the lane (negative global
+    indices), past its end, and across the valid-count boundary."""
+    from needle_tpu.fingerprint.ingest_oracle import (
+        _ingest_prepare_mid,
+        _prepare_mid_window,
+    )
+
+    rng = np.random.default_rng(in_rate * 7 + channels)
+    in_len_mid = 4096
+    raw_len = in_len_mid * channels * dec_factor
+    seg = _noise(rng, raw_len - 1234)  # shorter than the bucket: zero-extend
+    n_valid = (raw_len * 3 // 4) // channels * channels
+    full = np.asarray(
+        _ingest_prepare_mid(seg, n_valid, channels, dec_factor, in_len_mid),
+        dtype=np.int64,
+    )
+    nv_mid = (min(n_valid, raw_len) // channels) // dec_factor
+    for g_lo, g_hi in [
+        (-50, 40),  # reaches before the lane
+        (0, 130),
+        (nv_mid - 64, nv_mid + 64),  # straddles the valid-count boundary
+        (in_len_mid - 100, in_len_mid + 80),  # past the lane end
+        (513, 514),
+    ]:
+        win = np.asarray(
+            _prepare_mid_window(
+                seg, n_valid, channels, dec_factor, in_len_mid, g_lo, g_hi
+            ),
+            dtype=np.int64,
+        )
+        expect = np.zeros(g_hi - g_lo, np.int64)
+        a, b = max(0, g_lo), min(len(full), g_hi)
+        if b > a:
+            expect[a - g_lo : b - g_lo] = full[a:b]
+        np.testing.assert_array_equal(win, expect)
+
+
 def test_decimate_replica_three_ways():
     """decimate2_hb_np must be bit-identical to the native kernel and the
     device kernel — one integer semantics, three implementations."""
