@@ -39,6 +39,14 @@ _build_failed = False
 
 def _build_native() -> Optional[Path]:
     global _build_failed
+    # Explicit override (sanitizer builds, cross-build testing): point
+    # NEEDLE_TPU_INGEST_LIB at any ABI-compatible build of the library.
+    override = os.environ.get("NEEDLE_TPU_INGEST_LIB")
+    if override:
+        p = Path(override)
+        if not p.exists():
+            raise IngestError(f"NEEDLE_TPU_INGEST_LIB does not exist: {p}")
+        return p
     # installed-package layout (wheel/nix): the prebuilt .so ships inside
     # needle_tpu/_native/; source checkouts build under native/.
     packaged = Path(__file__).resolve().parent.parent / "_native" / _LIB_NAME
