@@ -24,3 +24,26 @@ UBSAN_OPTIONS="print_stacktrace=1:halt_on_error=1" \
 JAX_PLATFORMS=cpu \
 python -m pytest tests/test_containers.py tests/test_ingest_exact.py \
     tests/test_mixed_media.py tests/test_end_to_end.py -q "$@"
+
+# C API leg: run the `full` example (analyze + search over a synthetic
+# season, exercising every capi entry family) against an ASan+UBSan build
+# of libneedle_tpu_capi.so. The example binaries link by soname, so
+# LD_LIBRARY_PATH swaps in the instrumented lib (RUNPATH loses to it).
+make -C capi asan
+make -C capi/examples
+
+SEASON="$(mktemp -d)/season"
+PYTHONPATH="$PWD" python - "$SEASON" <<'EOF'
+import sys
+from needle_tpu.testing import make_synthetic_season
+make_synthetic_season(sys.argv[1], num_episodes=3, episode_secs=100,
+                      opening_secs=25, seed=4242)
+EOF
+
+LD_LIBRARY_PATH="$PWD/capi/asan" \
+LD_PRELOAD="$LIBASAN $LIBUBSAN" \
+ASAN_OPTIONS="detect_leaks=0:abort_on_error=1:strict_string_checks=1" \
+UBSAN_OPTIONS="print_stacktrace=1:halt_on_error=1" \
+PYTHONPATH="$PWD" JAX_PLATFORMS=cpu NEEDLE_TPU_PYTHON_ROOT="$PWD" \
+capi/examples/full "$SEASON"
+echo "sanitize: all legs clean"
