@@ -255,6 +255,7 @@ def arm_transport_watchdog():
                         "axon tunnel is back"
                     ),
                     "watchdog_budget_s": budget,
+                    **_TRANSPORT_WAIT,
                 }
             ),
             flush=True,
@@ -272,10 +273,69 @@ _WATCHDOG_DISARM = _threading.Event()
 _WATCHDOG_ARMED = _threading.Event()
 
 
+# Filled by wait_for_transport_endpoint; merged into the bench JSON so a
+# tunnel outage at bench start is attributable from the artifact.
+_TRANSPORT_WAIT: dict = {}
+# The tunnel relay's listener ports (first few of /root/.tpu_init.py's
+# PORTS); any one accepting a TCP connect means the relay agent is alive.
+_RELAY_PORTS = (8082, 8083, 8087, 8092)
+
+
+def wait_for_transport_endpoint():
+    """Bounded TCP-level wait for the tunnel relay before touching jax.
+
+    The axon platform dials relay ports on localhost (see
+    /root/.tpu_init.py's PORTS); when the relay agent is down, device
+    discovery blocks *inside* the runtime until the watchdog aborts. A
+    plain TCP connect distinguishes "relay down" (connection refused)
+    from "relay up but slow" — so an outage that ends within the budget
+    records a normal bench line instead of a watchdog abort, and the
+    wait itself is visible in the artifact. No-op off the axon platform.
+    """
+    if _TRANSPORT_WAIT:
+        return
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        _TRANSPORT_WAIT["transport_endpoint"] = "non-axon"
+        return
+    import socket
+
+    ports = _RELAY_PORTS
+    budget = float(os.environ.get("NEEDLE_BENCH_TRANSPORT_WAIT_S", "600"))
+    t0 = time.time()
+    while True:
+        up = False
+        for p in ports:
+            try:
+                with socket.create_connection(("127.0.0.1", p), timeout=2.0):
+                    up = True
+                break
+            except OSError:
+                continue
+        if up or time.time() - t0 + 10.0 > budget:
+            break
+        time.sleep(10)
+    _TRANSPORT_WAIT.update(
+        {
+            "transport_endpoint_up": up,
+            "transport_endpoint_wait_s": round(time.time() - t0, 1),
+        }
+    )
+    if not up:
+        print(
+            f"bench: tunnel relay endpoint still down after "
+            f"{_TRANSPORT_WAIT['transport_endpoint_wait_s']} s — "
+            "proceeding; the transport watchdog will abort with a "
+            "diagnostic line if device discovery hangs",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
 def warm_device():
     """Absorb transport cold-start before timing: the first device->host
     transfer of a process can stall for minutes on tunneled TPU transports;
     loop small round trips until the device answers quickly."""
+    wait_for_transport_endpoint()
     import jax
 
     # Arm here, immediately before the process's first device op, so a
@@ -391,6 +451,7 @@ def search_only_config(n_eps: int) -> None:
                 "trials_s": [round(t, 3) for t in times],
                 "stages_per_trial_s": trial_stages,
                 "trials": TRIALS,
+                **_TRANSPORT_WAIT,
             }
         )
     )
@@ -455,6 +516,7 @@ def small3_config() -> None:
                 "search_s": round(min(times_s), 4),
                 "accuracy_vs_truth": round(acc, 4),
                 "trials": TRIALS,
+                **_TRANSPORT_WAIT,
             }
         )
     )
@@ -492,6 +554,7 @@ def main():
     else:
         probe = {"placement": os.environ["NEEDLE_TPU_DECIMATE"]}
     probe.update(era)
+    probe.update(_TRANSPORT_WAIT)
 
     from needle_tpu._jax_setup import h2d_bandwidth_mb_s
 

@@ -88,6 +88,67 @@ def test_transport_watchdog_disarmed_by_roundtrip():
     assert "survived" in proc.stdout
 
 
+def test_transport_wait_noop_off_axon(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench = _bench()
+    bench.wait_for_transport_endpoint()
+    assert bench._TRANSPORT_WAIT == {"transport_endpoint": "non-axon"}
+
+
+def test_transport_wait_bounded_on_dead_relay(monkeypatch):
+    """With the relay agent down (connection refused on every port), the
+    wait must give up within its budget, record the outage for the
+    artifact, and only run once (warm_device is called per config)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("NEEDLE_BENCH_TRANSPORT_WAIT_S", "5")
+    bench = _bench()
+    # Ports nothing listens on: bind-then-close reserves fresh ones.
+    import socket
+
+    dead = []
+    for _ in range(2):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        dead.append(s.getsockname()[1])
+        s.close()
+    monkeypatch.setattr(bench, "_RELAY_PORTS", tuple(dead))
+    bench.wait_for_transport_endpoint()
+    assert bench._TRANSPORT_WAIT["transport_endpoint_up"] is False
+    assert bench._TRANSPORT_WAIT["transport_endpoint_wait_s"] < 5.0
+    # Idempotent: a second call must not wait again.
+    before = dict(bench._TRANSPORT_WAIT)
+    bench.wait_for_transport_endpoint()
+    assert bench._TRANSPORT_WAIT == before
+
+
+def test_transport_wait_returns_immediately_when_up(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    bench = _bench()
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def accept_one():
+        try:
+            conn, _ = srv.accept()
+            conn.close()
+        except OSError:
+            pass  # closed before/while accepting
+
+    t = threading.Thread(target=accept_one, daemon=True)
+    t.start()
+    monkeypatch.setattr(bench, "_RELAY_PORTS", (port,))
+    bench.wait_for_transport_endpoint()
+    assert bench._TRANSPORT_WAIT["transport_endpoint_up"] is True
+    assert bench._TRANSPORT_WAIT["transport_endpoint_wait_s"] < 5.0
+    t.join(timeout=5)
+    srv.close()
+
+
 def test_h2d_reprobe_resets_cache(monkeypatch):
     sys.path.insert(0, str(REPO))
     from needle_tpu import _jax_setup
