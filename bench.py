@@ -147,6 +147,41 @@ def pick_decimation_placement():
     }
 
 
+def _alternate_placement(mode: str) -> str:
+    return "auto" if mode == "host" else "host"
+
+
+def placement_for_trial(trial, probe_choice, placements, analyze_times):
+    """Decimation placement to use for THIS trial: A/B across trials.
+
+    The probe (pick_decimation_placement) models host placement as
+    max(decimated upload, FIR) — but on this 1-core host the FIR competes
+    with the decode pool for the same core, so its true cost is hidden by
+    contention the solo probe cannot see (r3 measured probe-predicted
+    1.3 s vs 7.7-15 s accumulated in-pipeline). Rather than model
+    contention, measure it: trials 0-1 run the probe's choice (trial 0
+    absorbs compile warmup), trials 2-3 run the ALTERNATE placement
+    (trial 2 absorbs its warmup), and later trials run whichever
+    placement's best WARM trial was fastest. min-over-trials then records
+    the true faster placement on any era.
+    """
+    alt = _alternate_placement(probe_choice)
+    if trial < 2:
+        return probe_choice
+    if trial < 4:
+        return alt
+    best = {}
+    seen = {}
+    for pl, t in zip(placements, analyze_times):
+        seen[pl] = seen.get(pl, 0) + 1
+        if seen[pl] >= 2:  # skip each placement's cold first trial
+            best[pl] = min(best.get(pl, float("inf")), t)
+    if not best:
+        for pl, t in zip(placements, analyze_times):
+            best[pl] = min(best.get(pl, float("inf")), t)
+    return min(best, key=best.get)
+
+
 def wait_for_usable_era() -> dict:
     """Bounded wait for a non-collapsed transport before measuring.
 
@@ -549,7 +584,8 @@ def main():
 
     warm_device()
     era = wait_for_usable_era()
-    if "NEEDLE_TPU_DECIMATE" not in os.environ:
+    forced_placement = "NEEDLE_TPU_DECIMATE" in os.environ
+    if not forced_placement:
         probe = pick_decimation_placement()
     else:
         probe = {"placement": os.environ["NEEDLE_TPU_DECIMATE"]}
@@ -559,8 +595,14 @@ def main():
     from needle_tpu._jax_setup import h2d_bandwidth_mb_s
 
     analyze_times, search_times, trial_stages, trial_h2d = [], [], [], []
+    placements = []
     results = None
     for trial in range(max(1, TRIALS)):
+        if not forced_placement:
+            os.environ["NEEDLE_TPU_DECIMATE"] = placement_for_trial(
+                trial, probe["placement"], placements, analyze_times
+            )
+        placements.append(os.environ.get("NEEDLE_TPU_DECIMATE", "auto"))
         snap0 = _stage_snapshot()
         t0 = time.time()
         run_analyze(paths, hash_duration)
@@ -611,12 +653,9 @@ def main():
     # dominates analyze wall time (VERDICT r1, weak #7). Headline h2d is
     # the probe taken right after the BEST trial (the one the min-over-
     # trials metric reflects); the full per-trial list is also emitted.
-    if trial_h2d:
-        best_i = min(range(len(analyze_times)),
-                     key=lambda i: analyze_times[i] + search_times[i])
-        h2d = trial_h2d[best_i]
-    else:
-        h2d = h2d_bandwidth_mb_s()
+    best_i = min(range(len(analyze_times)),
+                 key=lambda i: analyze_times[i] + search_times[i])
+    h2d = trial_h2d[best_i] if trial_h2d else h2d_bandwidth_mb_s()
 
     minutes_audio = NUM_EPISODES * EPISODE_SECS / 60.0
     print(
@@ -638,9 +677,13 @@ def main():
                 "accuracy_vs_truth": round(acc, 4),
                 "setup_s": round(setup_s, 2),
                 "h2d_mb_s": round(h2d, 1),
-                "decimation_placement": os.environ.get(
-                    "NEEDLE_TPU_DECIMATE", "auto"
-                ),
+                # placement of the trial analyze_s (the min) came from —
+                # search is placement-independent
+                "decimation_placement": placements[
+                    min(range(len(analyze_times)),
+                        key=analyze_times.__getitem__)
+                ],
+                "placement_per_trial": placements,
                 **probe,
                 "analyze_trials_s": [round(t, 3) for t in analyze_times],
                 "search_trials_s": [round(t, 3) for t in search_times],

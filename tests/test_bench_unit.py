@@ -149,6 +149,43 @@ def test_transport_wait_returns_immediately_when_up(monkeypatch):
     srv.close()
 
 
+def test_placement_ab_schedule():
+    """Trials 0-1 run the probe's choice, 2-3 the alternate, and later
+    trials whichever placement's best WARM trial (each placement's first
+    run is its compile warmup) measured fastest."""
+    bench = _bench()
+    f = bench.placement_for_trial
+    assert f(0, "host", [], []) == "host"
+    assert f(1, "host", ["host"], [20.0]) == "host"
+    assert f(2, "host", ["host", "host"], [20.0, 12.5]) == "auto"
+    assert f(3, "host", ["host", "host", "auto"], [20.0, 12.5, 15.0]) == "auto"
+    # device (auto) placement's warm trial beat host's: later trials use it
+    assert (
+        f(4, "host", ["host", "host", "auto", "auto"],
+          [20.0, 12.5, 15.0, 8.4])
+        == "auto"
+    )
+    # host's warm trial was faster: stay on host
+    assert (
+        f(4, "host", ["host", "host", "auto", "auto"],
+          [20.0, 12.5, 15.0, 14.0])
+        == "host"
+    )
+    # symmetric when the probe chose device placement
+    assert f(0, "auto", [], []) == "auto"
+    assert f(2, "auto", ["auto", "auto"], [9.0, 8.0]) == "host"
+
+
+def test_placement_ab_handles_early_truncation():
+    """With fewer than 2 trials per placement recorded (early breaks),
+    the chooser still returns a measured placement, never crashes."""
+    bench = _bench()
+    # only cold trials recorded: falls back to any measured trial
+    assert bench.placement_for_trial(
+        4, "host", ["host", "auto"], [30.0, 10.0]
+    ) == "auto"
+
+
 def test_h2d_reprobe_resets_cache(monkeypatch):
     sys.path.insert(0, str(REPO))
     from needle_tpu import _jax_setup
