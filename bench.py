@@ -307,6 +307,55 @@ import threading as _threading
 _WATCHDOG_DISARM = _threading.Event()
 _WATCHDOG_ARMED = _threading.Event()
 
+# Trial-progress watchdog state: [last-progress time, partial-line emitter].
+_PROGRESS = {"t_last": None, "emit": None}
+_PROGRESS_ARMED = _threading.Event()
+
+
+def kick_progress():
+    _PROGRESS["t_last"] = time.time()
+
+
+def arm_progress_watchdog(emit_partial):
+    """Guarantee the driver a JSON artifact even on a MID-RUN outage.
+
+    The transport watchdog only covers the path up to the first
+    device->host roundtrip; the r3 tunnel outage showed the transport can
+    also die for hours in the MIDDLE of a run, where the per-trial caps
+    never fire (they run between device calls, and the hang is inside
+    one). A daemon thread watches trial completions; if no trial finishes
+    within the budget, it emits a PARTIAL result line built from the
+    trials measured so far (or a diagnostic line if none completed) and
+    exits — the driver's own timeout would otherwise record nothing.
+
+    Budget (NEEDLE_BENCH_PROGRESS_S, default 900 s) is far above any
+    legitimate trial: the in-run caps break after a 120-300 s first
+    trial, and the slowest r3-era trial measured 169 s.
+    """
+    _PROGRESS["emit"] = emit_partial
+    kick_progress()
+    if _PROGRESS_ARMED.is_set():
+        return
+    _PROGRESS_ARMED.set()
+    budget = float(os.environ.get("NEEDLE_BENCH_PROGRESS_S", "900"))
+
+    def watch():
+        while True:
+            time.sleep(min(10.0, budget / 3 + 0.05))
+            emit = _PROGRESS["emit"]
+            if emit is None:  # run finished normally
+                return
+            stalled = time.time() - _PROGRESS["t_last"]
+            if stalled > budget:
+                emit(round(stalled, 1))
+                os._exit(3)
+
+    _threading.Thread(target=watch, daemon=True, name="bench-progress").start()
+
+
+def disarm_progress_watchdog():
+    _PROGRESS["emit"] = None
+
 
 # Filled by wait_for_transport_endpoint; merged into the bench JSON so a
 # tunnel outage at bench start is attributable from the artifact.
@@ -597,6 +646,80 @@ def main():
     analyze_times, search_times, trial_stages, trial_h2d = [], [], [], []
     placements = []
     results = None
+    acc_holder = {"acc": None}
+
+    def make_line(partial_stall_s=None):
+        """The bench JSON, built from however many trials completed —
+        shared by the normal exit and the mid-run-stall partial emit."""
+        done = min(len(analyze_times), len(search_times))
+        base = {
+            "metric": "analyze+search wall, 28-ep season (~20 min/ep), 1 chip",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+        }
+        if partial_stall_s is not None:
+            base["partial"] = True
+            base["error"] = (
+                "transport stalled mid-run: no trial leg completed for "
+                f"{partial_stall_s} s — results below cover the "
+                f"{done} completed trial(s)"
+            )
+        if done:
+            t_analyze = min(analyze_times)
+            t_search = min(search_times)
+            total = t_analyze + t_search
+            minutes_audio = NUM_EPISODES * EPISODE_SECS / 60.0
+            best_i = min(
+                range(done),
+                key=lambda i: analyze_times[i] + search_times[i],
+            )
+            base.update(
+                value=round(total, 4),
+                vs_baseline=round(total / BASELINE_TOTAL_S, 4),
+                speedup_vs_reference=round(BASELINE_TOTAL_S / total, 2),
+                analyze_s=round(t_analyze, 4),
+                search_s=round(t_search, 4),
+                baseline_analyze_s=BASELINE_ANALYZE_S,
+                baseline_search_s=BASELINE_SEARCH_S,
+                minutes_audio_per_sec_analyze=round(
+                    minutes_audio / t_analyze, 1
+                ),
+                pairs_per_sec_search=round(
+                    NUM_EPISODES * (NUM_EPISODES - 1) / 2 / t_search, 1
+                ),
+                h2d_mb_s=(
+                    trial_h2d[best_i]
+                    if best_i < len(trial_h2d)
+                    else None
+                ),
+                decimation_placement=placements[
+                    min(
+                        range(len(analyze_times)),
+                        key=analyze_times.__getitem__,
+                    )
+                ],
+            )
+            if acc_holder["acc"] is not None:
+                base["accuracy_vs_truth"] = round(acc_holder["acc"], 4)
+        elif analyze_times:
+            base["analyze_s"] = round(min(analyze_times), 4)
+        base.update(
+            setup_s=round(setup_s, 2),
+            placement_per_trial=placements,
+            **probe,
+            analyze_trials_s=[round(t, 3) for t in analyze_times],
+            search_trials_s=[round(t, 3) for t in search_times],
+            h2d_mb_s_per_trial=trial_h2d,
+            stages_per_trial_s=trial_stages,
+            trials=TRIALS,
+        )
+        return base
+
+    arm_progress_watchdog(
+        lambda stalled: print(json.dumps(make_line(stalled)), flush=True)
+    )
+
     for trial in range(max(1, TRIALS)):
         if not forced_placement:
             os.environ["NEEDLE_TPU_DECIMATE"] = placement_for_trial(
@@ -607,11 +730,13 @@ def main():
         t0 = time.time()
         run_analyze(paths, hash_duration)
         analyze_times.append(time.time() - t0)
+        kick_progress()
 
         snap1 = _stage_snapshot()
         t0 = time.time()
         results = run_search(paths)
         search_times.append(time.time() - t0)
+        kick_progress()
         snap2 = _stage_snapshot()
         trial_stages.append(
             {**_stage_delta(snap0, snap1), **_stage_delta(snap1, snap2)}
@@ -640,59 +765,18 @@ def main():
         ):
             break
 
-    t_analyze = min(analyze_times)
-    t_search = min(search_times)
-    total = t_analyze + t_search
-    acc = accuracy(results, paths, op_truth, end_truth)
+    acc_holder["acc"] = accuracy(results, paths, op_truth, end_truth)
+    disarm_progress_watchdog()
 
     from needle_tpu.tracing import report_metrics
 
     report_metrics()  # stage table when NEEDLE_TPU_TIMINGS=1
-    # Record the transport era so rounds are comparable: the tunnel's
-    # host->device bandwidth swings 9 MB/s - 1.3 GB/s between sessions and
-    # dominates analyze wall time (VERDICT r1, weak #7). Headline h2d is
-    # the probe taken right after the BEST trial (the one the min-over-
-    # trials metric reflects); the full per-trial list is also emitted.
-    best_i = min(range(len(analyze_times)),
-                 key=lambda i: analyze_times[i] + search_times[i])
-    h2d = trial_h2d[best_i] if trial_h2d else h2d_bandwidth_mb_s()
-
-    minutes_audio = NUM_EPISODES * EPISODE_SECS / 60.0
-    print(
-        json.dumps(
-            {
-                "metric": "analyze+search wall, 28-ep season (~20 min/ep), 1 chip",
-                "value": round(total, 4),
-                "unit": "s",
-                "vs_baseline": round(total / BASELINE_TOTAL_S, 4),
-                "speedup_vs_reference": round(BASELINE_TOTAL_S / total, 2),
-                "analyze_s": round(t_analyze, 4),
-                "search_s": round(t_search, 4),
-                "baseline_analyze_s": BASELINE_ANALYZE_S,
-                "baseline_search_s": BASELINE_SEARCH_S,
-                "minutes_audio_per_sec_analyze": round(minutes_audio / t_analyze, 1),
-                "pairs_per_sec_search": round(
-                    NUM_EPISODES * (NUM_EPISODES - 1) / 2 / t_search, 1
-                ),
-                "accuracy_vs_truth": round(acc, 4),
-                "setup_s": round(setup_s, 2),
-                "h2d_mb_s": round(h2d, 1),
-                # placement of the trial analyze_s (the min) came from —
-                # search is placement-independent
-                "decimation_placement": placements[
-                    min(range(len(analyze_times)),
-                        key=analyze_times.__getitem__)
-                ],
-                "placement_per_trial": placements,
-                **probe,
-                "analyze_trials_s": [round(t, 3) for t in analyze_times],
-                "search_trials_s": [round(t, 3) for t in search_times],
-                "h2d_mb_s_per_trial": trial_h2d,
-                "stages_per_trial_s": trial_stages,
-                "trials": TRIALS,
-            }
-        )
-    )
+    # The h2d era is recorded per trial so rounds are comparable: the
+    # tunnel's host->device bandwidth swings 9 MB/s - 1.3 GB/s between
+    # sessions and dominates analyze wall time (VERDICT r1, weak #7).
+    # make_line picks the probe taken right after the BEST trial as the
+    # headline h2d_mb_s.
+    print(json.dumps(make_line()))
 
 
 if __name__ == "__main__":

@@ -186,6 +186,62 @@ def test_placement_ab_handles_early_truncation():
     ) == "auto"
 
 
+def test_progress_watchdog_emits_partial_on_midrun_stall():
+    """If no trial leg completes within the budget (mid-run transport
+    outage), the watchdog must emit the partial line and exit 3 — the
+    driver then still records whatever trials finished."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys, time, json\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['NEEDLE_BENCH_PROGRESS_S'] = '0.5'\n"
+        "import bench\n"
+        "bench.arm_progress_watchdog(\n"
+        "    lambda s: print(json.dumps({'partial': True, 'stall_s': s}))\n"
+        ")\n"
+        "time.sleep(30)  # simulated hang inside a device call\n"
+    ) % str(REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25,
+    )
+    assert proc.returncode == 3
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["partial"] is True
+    assert line["stall_s"] > 0.5
+
+
+def test_progress_watchdog_quiet_when_kicked_and_disarmed():
+    """Trial completions (kicks) hold the watchdog off; a normal finish
+    (disarm) retires it entirely."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['NEEDLE_BENCH_PROGRESS_S'] = '0.8'\n"
+        "import bench\n"
+        "bench.arm_progress_watchdog(lambda s: print('FIRED'))\n"
+        "for _ in range(4):\n"
+        "    time.sleep(0.4)\n"
+        "    bench.kick_progress()  # what each trial leg does\n"
+        "bench.disarm_progress_watchdog()\n"
+        "time.sleep(1.5)\n"
+        "print('survived')\n"
+    ) % str(REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25,
+    )
+    assert proc.returncode == 0
+    assert "survived" in proc.stdout
+    assert "FIRED" not in proc.stdout
+
+
 def test_h2d_reprobe_resets_cache(monkeypatch):
     sys.path.insert(0, str(REPO))
     from needle_tpu import _jax_setup
