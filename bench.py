@@ -499,6 +499,32 @@ def search_only_config(n_eps: int) -> None:
     )
     times, trial_stages = [], []
     results = None
+    pairs = n_eps * (n_eps - 1) // 2
+
+    def partial_line(stall_s):
+        base = {
+            "metric": f"search-only wall, {n_eps}-episode library "
+            f"({pairs} pairs), 1 chip",
+            "value": round(min(times), 4) if times else None,
+            "unit": "s",
+            "vs_baseline": (
+                round(min(times) / (BASELINE_SEARCH_S * pairs / 378.0), 4)
+                if times
+                else None
+            ),
+            "partial": True,
+            "error": (
+                f"transport stalled mid-run: no trial completed for "
+                f"{stall_s} s — value covers the {len(times)} finished "
+                "trial(s)"
+            ),
+            "trials_s": [round(t, 3) for t in times],
+            "stages_per_trial_s": trial_stages,
+            **_TRANSPORT_WAIT,
+        }
+        print(json.dumps(base), flush=True)
+
+    arm_progress_watchdog(partial_line)
     for trial in range(max(1, TRIALS)):
         snap0 = _stage_snapshot()
         t0 = time.time()
@@ -506,6 +532,7 @@ def search_only_config(n_eps: int) -> None:
             fhs, display=False, use_skip_files=False, write_skip_files=False
         )
         times.append(time.time() - t0)
+        kick_progress()
         trial_stages.append(_stage_delta(snap0, _stage_snapshot()))
         # same slow-era guards as main(): a retrial on a crawling transport
         # would risk the caller's timeout, and the total trial budget stays
@@ -514,11 +541,11 @@ def search_only_config(n_eps: int) -> None:
             break
         if sum(times) > 420.0:
             break
+    disarm_progress_watchdog()
     from needle_tpu.tracing import report_metrics
 
     report_metrics()  # set NEEDLE_TPU_TIMINGS=1 for the stage table
     found = sum(1 for r in results if r.opening is not None)
-    pairs = n_eps * (n_eps - 1) // 2
     best = min(times)
     print(
         json.dumps(
@@ -574,18 +601,50 @@ def small3_config() -> None:
     warm_device()
     times_a, times_s = [], []
     results = None
+
+    def partial_line(stall_s):
+        done = min(len(times_a), len(times_s))
+        best = (
+            round(min(times_a) + min(times_s), 4) if done else None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "analyze+search wall, 3 x 24-min pre-decoded "
+                    "16 kHz PCM episodes, 1 chip",
+                    "value": best,
+                    "unit": "s",
+                    "vs_baseline": round(best / 11.0, 4) if best else None,
+                    "partial": True,
+                    "error": (
+                        "transport stalled mid-run: no trial leg completed "
+                        f"for {stall_s} s — value covers the {done} "
+                        "finished trial(s)"
+                    ),
+                    "analyze_trials_s": [round(t, 3) for t in times_a],
+                    "search_trials_s": [round(t, 3) for t in times_s],
+                    **_TRANSPORT_WAIT,
+                }
+            ),
+            flush=True,
+        )
+
+    arm_progress_watchdog(partial_line)
     for trial in range(max(1, TRIALS)):
         t0 = time.time()
         run_analyze(paths, hash_duration)
         times_a.append(time.time() - t0)
+        kick_progress()
         t0 = time.time()
         results = run_search(paths)
         times_s.append(time.time() - t0)
+        kick_progress()
         # same slow-era guards as main()
         if trial == 0 and times_a[0] + times_s[0] > 120.0:
             break
         if sum(times_a) + sum(times_s) > 360.0:
             break
+    disarm_progress_watchdog()
     total = min(times_a) + min(times_s)
     acc = accuracy(results, paths, truths["opening"], truths["ending"])
     print(
