@@ -182,6 +182,29 @@ def placement_for_trial(trial, probe_choice, placements, analyze_times):
     return min(best, key=best.get)
 
 
+def era_deteriorating(totals, placements) -> bool:
+    """Early-break test: the era is deteriorating when the last TWO trials
+    each ran >2x the best earlier trial OF THEIR OWN PLACEMENT — such
+    trials can't improve the min and burn 100+ s apiece. Same-placement
+    comparison matters: during the placement A/B, the alternate placement
+    can be legitimately 2x slower than the probe's choice on a healthy
+    era — that's the A/B doing its job, not transport decay, and breaking
+    there would rob the winning placement of its warm trial-4/5 re-runs.
+    A trial with no EARLIER same-placement trial (the alternate's cold
+    first run) never votes for a break."""
+    if len(totals) < 3:
+        return False
+
+    def decayed(i):
+        prior = [
+            t for t, pl in zip(totals[:i], placements[:i])
+            if pl == placements[i]
+        ]
+        return bool(prior) and totals[i] > 2.0 * min(prior)
+
+    return decayed(len(totals) - 1) and decayed(len(totals) - 2)
+
+
 def wait_for_usable_era() -> dict:
     """Bounded wait for a non-collapsed transport before measuring.
 
@@ -200,6 +223,7 @@ def wait_for_usable_era() -> dict:
     probes = []
     while True:
         h = h2d_bandwidth_mb_s(reprobe=True)
+        kick_progress()  # each probe completing proves transport liveness
         probes.append(round(h, 1))
         if h >= gate or time.time() - t0 + 20.0 > budget:
             break
@@ -265,8 +289,6 @@ def arm_transport_watchdog():
     driver's timeout record nothing. Disarmed by the first successful
     device->host roundtrip (after that, slowness is handled by the
     normal budgets). Idempotent — only the first call arms."""
-    import threading
-
     if _WATCHDOG_ARMED.is_set():
         return
     _WATCHDOG_ARMED.set()
@@ -297,7 +319,7 @@ def arm_transport_watchdog():
         )
         os._exit(2)
 
-    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+    _threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
 
 
 # Set by warm_device after the first completed roundtrip; pre-set here so
@@ -307,37 +329,54 @@ import threading as _threading
 _WATCHDOG_DISARM = _threading.Event()
 _WATCHDOG_ARMED = _threading.Event()
 
-# Trial-progress watchdog state: [last-progress time, partial-line emitter].
-_PROGRESS = {"t_last": None, "emit": None}
-_PROGRESS_ARMED = _threading.Event()
+# Trial-progress watchdog state: last-progress time, partial-line emitter,
+# live watcher thread (restartable — a disarm ends the thread; the next arm
+# starts a fresh one).
+_PROGRESS = {"t_last": None, "emit": None, "thread": None}
 
 
 def kick_progress():
     _PROGRESS["t_last"] = time.time()
 
 
-def arm_progress_watchdog(emit_partial):
+def arm_progress_watchdog(emit_partial, budget_s=None):
     """Guarantee the driver a JSON artifact even on a MID-RUN outage.
 
     The transport watchdog only covers the path up to the first
     device->host roundtrip; the r3 tunnel outage showed the transport can
     also die for hours in the MIDDLE of a run, where the per-trial caps
     never fire (they run between device calls, and the hang is inside
-    one). A daemon thread watches trial completions; if no trial finishes
-    within the budget, it emits a PARTIAL result line built from the
-    trials measured so far (or a diagnostic line if none completed) and
-    exits — the driver's own timeout would otherwise record nothing.
+    one). A daemon thread watches progress heartbeats; if NOTHING
+    completes within the budget, it emits a PARTIAL result line built
+    from the trials measured so far (or a diagnostic line if none
+    completed) and exits — the driver's own timeout would otherwise
+    record nothing.
 
-    Budget (NEEDLE_BENCH_PROGRESS_S, default 900 s) is far above any
-    legitimate trial: the in-run caps break after a 120-300 s first
-    trial, and the slowest r3-era trial measured 169 s.
+    Heartbeats are fine-grained, not per-trial: every engine stage that
+    finishes (a chunk upload, a kernel-group download — the tracing
+    metrics registry records dozens per trial) kicks the watchdog, so a
+    legitimately SLOW era keeps proving liveness even when one trial runs
+    far past the budget (r3 measured the same kernel at 377 and 2100
+    pairs/s back-to-back; a 900 s per-trial granularity would have killed
+    the live 5x-slump run mid-device-work). Only a genuinely wedged
+    transport — no stage completing at all — fires.
+
+    Budget: `budget_s` if given, else NEEDLE_BENCH_PROGRESS_S (900 s) —
+    far above the gap between stage completions on any live era.
     """
+    from needle_tpu.tracing import metrics as _metrics
+
     _PROGRESS["emit"] = emit_partial
     kick_progress()
-    if _PROGRESS_ARMED.is_set():
+    _metrics.on_record = kick_progress
+    t = _PROGRESS["thread"]
+    if t is not None and t.is_alive():
         return
-    _PROGRESS_ARMED.set()
-    budget = float(os.environ.get("NEEDLE_BENCH_PROGRESS_S", "900"))
+    budget = (
+        float(budget_s)
+        if budget_s is not None
+        else float(os.environ.get("NEEDLE_BENCH_PROGRESS_S", "900"))
+    )
 
     def watch():
         while True:
@@ -350,10 +389,15 @@ def arm_progress_watchdog(emit_partial):
                 emit(round(stalled, 1))
                 os._exit(3)
 
-    _threading.Thread(target=watch, daemon=True, name="bench-progress").start()
+    t = _threading.Thread(target=watch, daemon=True, name="bench-progress")
+    _PROGRESS["thread"] = t
+    t.start()
 
 
 def disarm_progress_watchdog():
+    from needle_tpu.tracing import metrics as _metrics
+
+    _metrics.on_record = None
     _PROGRESS["emit"] = None
 
 
@@ -691,6 +735,29 @@ def main():
     hash_duration = Duration.from_secs_f32(np.float32(0.3))
 
     warm_device()
+    # Cover the era gate and the placement probe too: those issue device
+    # work AFTER the transport watchdog disarmed (warm_device's first
+    # roundtrip) but BEFORE the trial loop re-arms with the full partial
+    # emitter — a tunnel death in that window previously hung forever.
+    arm_progress_watchdog(
+        lambda stalled: print(
+            json.dumps(
+                {
+                    "metric": "bench aborted: transport died during era gate",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": (
+                        "no device probe completed for "
+                        f"{stalled} s during the pre-trial era gate — "
+                        "transport outage, not a framework failure"
+                    ),
+                    **_TRANSPORT_WAIT,
+                }
+            ),
+            flush=True,
+        )
+    )
     era = wait_for_usable_era()
     forced_placement = "NEEDLE_TPU_DECIMATE" in os.environ
     if not forced_placement:
@@ -812,16 +879,8 @@ def main():
             break
         if sum(analyze_times) + sum(search_times) > 360.0:
             break
-        # Era deteriorating: two consecutive trials at >2x the best total
-        # can't improve the min and each burns 100+ s — stop early. (The
-        # min is the metric; extra trials only help on stable/improving
-        # eras.)
         totals = [a + s for a, s in zip(analyze_times, search_times)]
-        if (
-            len(totals) >= 3
-            and totals[-1] > 2.0 * min(totals)
-            and totals[-2] > 2.0 * min(totals)
-        ):
+        if era_deteriorating(totals, placements):
             break
 
     acc_holder["acc"] = accuracy(results, paths, op_truth, end_truth)

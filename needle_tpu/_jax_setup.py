@@ -36,9 +36,17 @@ def h2d_bandwidth_mb_s(reprobe: bool = False) -> float:
             import numpy as np
 
             x = np.zeros(8 << 20, np.int16)  # 16 MB
-            jax.device_put(x[:128]).block_until_ready()  # connection setup
+            # connection setup + fence warm (np.asarray: on the axon
+            # transport only a device->host transfer reliably fences;
+            # block_until_ready can return before remote work completes,
+            # which would inflate the reading exactly when the wire is
+            # collapsing — the case the probe's callers gate on)
+            np.asarray(jax.device_put(x[:128]) + np.int16(1))
             t0 = time.perf_counter()
-            jax.device_put(x).block_until_ready()
+            y = jax.device_put(x)
+            np.asarray(y[-64:])  # d2h fence; ~0.04 s fixed cost, charged
+            # to the probe — errs conservative (reads slightly SLOW) on
+            # high-RTT eras, never fast on a collapsed one
             dt = max(time.perf_counter() - t0, 1e-6)
             _h2d_bandwidth = x.nbytes / 1e6 / dt
         except Exception:

@@ -125,7 +125,6 @@ def _prepare_mid_window(
     elif dec_factor == 2:
         stages = [_halfband_q14(*_HB_MAIN)]
     raw_len = in_len_mid * channels * dec_factor
-    n_rows = in_len_mid * dec_factor
     nv = min(int(n_valid), raw_len) // channels
     # valid-count mask per stage output (the whole-lane path's x[nv:] = 0)
     nvs = [nv]

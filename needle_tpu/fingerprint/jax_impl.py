@@ -585,8 +585,9 @@ class IngestDispatcher:
         self._rs_mat = _rs_device_matrix(self.mid_rate)
         self._tables = _device_tables()
         self._pending: dict = {}  # nf_bucket -> (refs, segments)
-        self._launched: list = []  # (refs, device_out)
-        self._flag_launched: list = []  # (refs, device_flags) when exact
+        # (refs, device_out); in exact mode each device row is the
+        # [hashes | flags] concat (split on download by _collect_lanes)
+        self._launched: list = []
         self._out_lens: dict = {}  # ref -> n_sub
         self._empty: dict = {}  # ref -> empty result
         self._zero_rows: dict = {}  # in_len -> device zero row (pad lanes)
@@ -664,8 +665,16 @@ class IngestDispatcher:
                 with_flags=self._exact,
             )
         if self._exact:
-            self._launched.append((refs, out[0]))
-            self._flag_launched.append((refs, out[1]))
+            # Ride the flags on the SAME download as the hashes: one
+            # [hashes | flags] row per lane (device-side concat, no host
+            # sync) instead of a second _collect_lanes pass — tunneled
+            # transports charge ~0.5 s fixed per round trip on slow eras,
+            # so the extra pass cost real wall per analyze. The flag bytes
+            # are trivial (~n_sub u32s/lane).
+            self._launched.append(
+                (refs, jnp.concatenate(
+                    [out[0], out[1].astype(jnp.uint32)], axis=1))
+            )
         else:
             self._launched.append((refs, out))
 
@@ -685,21 +694,21 @@ class IngestDispatcher:
         flat_results: List = [None] * len(flat_refs)
         if lane_lists:
             with span("ingest.collect"):
-                _collect_lanes(lane_lists, out_lens, flat_results)
-        if self._exact and self._flag_launched:
-            flag_lists = []
-            pos = 0
-            for refs, fout in self._flag_launched:
-                flag_lists.append((list(range(pos, pos + len(refs))), fout))
-                pos += len(refs)
-            flat_flags: List = [None] * len(flat_refs)
-            with span("ingest.collect"):
-                _collect_lanes(flag_lists, out_lens, flat_flags)
+                _collect_lanes(
+                    lane_lists, out_lens, flat_results, paired=self._exact
+                )
+        if self._exact and lane_lists:
+            flat_flags = [
+                t[1] if t is not None else None for t in flat_results
+            ]
+            flat_results = [
+                t[0] if t is not None else None for t in flat_results
+            ]
             self._rescan(flat_refs, flat_results, flat_flags)
         results = dict(self._empty)
         results.update(zip(flat_refs, flat_results))
         self._launched, self._pending, self._empty = [], {}, {}
-        self._flag_launched, self._rescan_info = [], {}
+        self._rescan_info = {}
         return results
 
     def _rescan(self, flat_refs, flat_results, flat_flags) -> None:
@@ -793,10 +802,14 @@ def ingest_classifier_values_jax(
     )
 
 
-def _collect_lanes(launched, out_lens, results) -> None:
+def _collect_lanes(launched, out_lens, results, paired: bool = False) -> None:
     """Download chunk outputs with one transfer per output width —
     tunneled transports charge per round trip, so per-chunk downloads
-    would dominate for large libraries."""
+    would dominate for large libraries.
+
+    With paired=True each device row is two equal halves concatenated on
+    device ([hashes | rescan flags]); results get (hashes, flags) tuples —
+    still one transfer per width."""
     by_width: dict = {}
     for lane_idxs, out in launched:
         by_width.setdefault(out.shape[1], []).append((lane_idxs, out))
@@ -805,10 +818,19 @@ def _collect_lanes(launched, out_lens, results) -> None:
             host_all = np.asarray(jnp.concatenate([o for _, o in items]))
         else:
             host_all = np.asarray(items[0][1])
+        half = width // 2
         row0 = 0
         for lane_idxs, out in items:
             for r, si in enumerate(lane_idxs):
-                results[si] = host_all[row0 + r, : out_lens[si]].astype(np.uint32)
+                row = host_all[row0 + r]
+                n = out_lens[si]
+                if paired:
+                    results[si] = (
+                        row[:n].astype(np.uint32),
+                        row[half : half + n].astype(bool),
+                    )
+                else:
+                    results[si] = row[:n].astype(np.uint32)
             row0 += out.shape[0]
 
 
@@ -875,7 +897,6 @@ def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
     exact = _exact_enabled()
     tables = _device_tables()
     launched = []
-    flag_launched = []
     for nf_b, idxs in sorted(groups.items()):
         pad_len = (nf_b + _ROWS_PER_FRAME + 1) * HOP_SIZE
         for c0 in range(0, len(idxs), lanes):
@@ -889,15 +910,21 @@ def fingerprint_jax_batch(monos: Sequence[np.ndarray]) -> List[np.ndarray]:
                 device_batch, *tables, nf_b, with_flags=exact
             )
             if exact:
-                launched.append((lane_idxs, out[0]))
-                flag_launched.append((lane_idxs, out[1]))
+                # one [hashes | flags] row per lane: flags ride the same
+                # download as the hashes (see IngestDispatcher._dispatch)
+                launched.append(
+                    (lane_idxs, jnp.concatenate(
+                        [out[0], out[1].astype(jnp.uint32)], axis=1))
+                )
             else:
                 launched.append((lane_idxs, out))
 
-    _collect_lanes(launched, n_subs, results)
+    _collect_lanes(launched, n_subs, results, paired=exact)
     if exact:
-        flags: List = [None] * len(monos)
-        _collect_lanes(flag_launched, n_subs, flags)
+        # empty episodes were assigned plain arrays before collect — only
+        # collected lanes hold (hashes, flags) tuples
+        flags = [t[1] if isinstance(t, tuple) else None for t in results]
+        results = [t[0] if isinstance(t, tuple) else t for t in results]
         _rescan_borderline(monos, results, flags)
     return results
 

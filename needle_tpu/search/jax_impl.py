@@ -567,11 +567,27 @@ class JaxSearchEngine:
 
         from ..tracing import metrics as _metrics
 
+        # Coalesce in GROUPS of chunks rather than one monolith: each
+        # group download is still far above the per-roundtrip fixed cost
+        # (~64 x 1024 pairs x ~640 B of bitmask ≈ 40 MB, inside the
+        # transfer sweet spot), but the download completing per group (a)
+        # records a progress heartbeat the bench watchdog can see — one
+        # all-chunk np.asarray was a single unkickable window that could
+        # legitimately run 20+ min on a slumped era — and (b) keeps any
+        # single d2h well under the large-transfer collapse regime.
+        group = int(_os.environ.get("NEEDLE_TPU_COLLECT_GROUP", "64"))
+        parts = []
         _t0 = _time.perf_counter()
-        if len(launched) > 1:
-            counts_all = np.asarray(jnp.concatenate([o for _, o in launched]))
-        else:
-            counts_all = np.asarray(launched[0][1])
+        for g0 in range(0, len(launched), group):
+            outs = [o for _, o in launched[g0 : g0 + group]]
+            _tg = _time.perf_counter()
+            parts.append(
+                np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+            )
+            _metrics.record(
+                "search.collect_device_group", _time.perf_counter() - _tg
+            )
+        counts_all = np.concatenate(parts) if len(parts) > 1 else parts[0]
         _metrics.record(
             "search.collect_device", _time.perf_counter() - _t0
         )  # device execute + concat + d2h of the coalesced bitmask

@@ -32,17 +32,29 @@ logger = logging.getLogger("needle_tpu")
 
 
 class _Metrics:
-    """Process-wide per-stage wall-time accumulators (thread-safe)."""
+    """Process-wide per-stage wall-time accumulators (thread-safe).
+
+    `on_record`, when set to a callable, is invoked (outside the lock,
+    exceptions swallowed) after every record — a progress heartbeat for
+    watchdogs: any completed stage proves the process is advancing, so a
+    monitor can distinguish "slow era" from "hung transport"."""
 
     def __init__(self):
         self._lock = threading.Lock()
         self._totals: Dict[str, float] = defaultdict(float)
         self._counts: Dict[str, int] = defaultdict(int)
+        self.on_record = None
 
     def record(self, name: str, seconds: float) -> None:
         with self._lock:
             self._totals[name] += seconds
             self._counts[name] += 1
+        hook = self.on_record
+        if hook is not None:
+            try:
+                hook()
+            except Exception:
+                pass
 
     def snapshot(self) -> Dict[str, Tuple[float, int]]:
         with self._lock:

@@ -253,3 +253,83 @@ def test_h2d_reprobe_resets_cache(monkeypatch):
     # real runs, a fresh measurement) is consulted again.
     assert _jax_setup.h2d_bandwidth_mb_s() == 42.0
     assert _jax_setup.h2d_bandwidth_mb_s(reprobe=True) == 77.0
+
+
+def test_era_deteriorating_same_placement_only():
+    """The early break compares trials against the best of their OWN
+    placement: a legitimately-slower alternate placement during the A/B
+    must not read as transport decay (it would rob the winner of its warm
+    re-runs), while genuine decay within one placement still breaks."""
+    b = _bench()
+    # A/B pattern: host 8 s trials, device placement legitimately ~2.5x
+    # slower on a healthy era -> NOT deteriorating (trial 2 has no earlier
+    # same-placement trial; trial 3 compares against trial 2's 20 s).
+    assert not b.era_deteriorating(
+        [8.0, 8.1, 20.0, 21.0], ["host", "host", "auto", "auto"]
+    )
+    # Genuine decay: same placement throughout, last two trials >2x best.
+    assert b.era_deteriorating(
+        [8.0, 8.1, 17.0, 18.0], ["host", "host", "host", "host"]
+    )
+    # Needs two consecutive slow trials, not one blip.
+    assert not b.era_deteriorating(
+        [8.0, 17.0, 8.2], ["host", "host", "host"]
+    )
+    assert not b.era_deteriorating([8.0, 17.0], ["host", "host"])
+
+
+def test_progress_watchdog_rearmable_after_disarm():
+    """disarm ends the watcher thread; a later arm must start a fresh one
+    (the r3 implementation left a dead thread installed, silently
+    unprotecting any second benched section in the same process)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys, time, json\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['NEEDLE_BENCH_PROGRESS_S'] = '0.5'\n"
+        "import bench\n"
+        "bench.arm_progress_watchdog(lambda s: print('FIRST'))\n"
+        "bench.kick_progress()\n"
+        "bench.disarm_progress_watchdog()\n"
+        "time.sleep(0.8)  # let the first watcher retire\n"
+        "bench.arm_progress_watchdog(lambda s: print('SECOND'))\n"
+        "time.sleep(30)  # simulated hang in the second section\n"
+    ) % str(REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25,
+    )
+    assert proc.returncode == 3
+    assert "SECOND" in proc.stdout
+    assert "FIRST" not in proc.stdout
+
+
+def test_progress_watchdog_fed_by_metrics_heartbeats():
+    """Engine stage completions (tracing metrics records) count as
+    progress: a single trial running far past the budget on a slow-but-
+    LIVE era must not be killed as long as stages keep completing."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['NEEDLE_BENCH_PROGRESS_S'] = '0.8'\n"
+        "import bench\n"
+        "from needle_tpu.tracing import metrics\n"
+        "bench.arm_progress_watchdog(lambda s: print('FIRED'))\n"
+        "for _ in range(5):  # one long 'trial', stages completing inside\n"
+        "    time.sleep(0.4)\n"
+        "    metrics.record('search.collect_device_group', 0.4)\n"
+        "bench.disarm_progress_watchdog()\n"
+        "print('survived')\n"
+    ) % str(REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25,
+    )
+    assert proc.returncode == 0
+    assert "survived" in proc.stdout
+    assert "FIRED" not in proc.stdout
