@@ -333,3 +333,33 @@ def test_progress_watchdog_fed_by_metrics_heartbeats():
     assert proc.returncode == 0
     assert "survived" in proc.stdout
     assert "FIRED" not in proc.stdout
+
+
+def test_should_extend_only_while_losing_and_in_budget():
+    bench = _bench()
+    # winning min -> never extend
+    assert not bench.should_extend([15.0, 22.0], 10.0)
+    # losing min, inside the extension budget -> extend
+    assert bench.should_extend([25.0, 30.0], 10.0)
+    # losing min but extension budget exhausted -> stop
+    assert not bench.should_extend([25.0, 30.0], bench.EXTEND_BUDGET_S + 1)
+    # no trials recorded -> never extend
+    assert not bench.should_extend([], 0.0)
+    # exact baseline counts as a win (<=)
+    assert not bench.should_extend([bench.BASELINE_TOTAL_S], 0.0)
+
+
+def test_wait_for_era_recovery_clears_and_bounds():
+    bench = _bench()
+    sleeps = []
+    # recovers on the third probe; sleeps between probes only
+    seq = iter([10.0, 20.0, 80.0])
+    ok, probes = bench.wait_for_era_recovery(
+        60.0, budget_s=300.0, _sleep=sleeps.append, _probe=lambda: next(seq)
+    )
+    assert ok and probes == [10.0, 20.0, 80.0] and len(sleeps) == 2
+    # budget below one sleep interval: gives up after the first probe
+    ok, probes = bench.wait_for_era_recovery(
+        60.0, budget_s=5.0, _sleep=sleeps.append, _probe=lambda: 10.0
+    )
+    assert not ok and probes == [10.0] and len(sleeps) == 2
