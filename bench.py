@@ -302,14 +302,20 @@ _STAGE_KEYS = (
     "analyze.assemble",
     "fingerprint.rescan",
     "search.pairs",
+    "search.prefilter",
     "search.launch",
     "search.collect",
     "search.collect_device",
     "search.collect_unpack",
     "search.extract",
-    # counts, not seconds — extraction workload diagnostics
+)
+
+# Workload diagnostics that are COUNTS, not seconds — reported in a
+# separate counts_per_trial field so the _s table stays homogeneous.
+_COUNT_KEYS = (
     "search.extract_diags",
     "search.extract_host_fallback",
+    "search.prefilter_skipped",
 )
 
 
@@ -320,12 +326,20 @@ def _stage_snapshot():
 
 
 def _stage_delta(before, after):
-    """Per-stage wall seconds accumulated between two snapshots."""
+    """Per-stage wall seconds accumulated between two snapshots, plus
+    workload counts under a nested "counts" key."""
     out = {}
     for k in _STAGE_KEYS:
         d = after.get(k, 0.0) - before.get(k, 0.0)
         if d > 1e-4:
             out[k] = round(d, 3)
+    counts = {}
+    for k in _COUNT_KEYS:
+        d = after.get(k, 0.0) - before.get(k, 0.0)
+        if d > 0:
+            counts[k] = int(d)
+    if counts:
+        out["counts"] = counts
     return out
 
 
@@ -568,9 +582,15 @@ def accuracy(results, paths, op_truth, end_truth, tol=8.0):
     return ok / max(1, len(results))
 
 
-def search_only_config(n_eps: int) -> None:
+def search_only_config(n_eps: int, n_shows: int = 1) -> None:
     """BASELINE config 3: search-only over a large pre-hashed library
-    (no decode). Prints one JSON line. NEEDLE_BENCH_CONFIG=search300."""
+    (no decode). Prints one JSON line. NEEDLE_BENCH_CONFIG=search300.
+
+    n_shows > 1 (NEEDLE_BENCH_CONFIG=mixedN, 20 shows) models the
+    realistic whole-library scan the reference's all-pairs Comparator
+    supports: episodes of DIFFERENT shows share nothing, so only
+    1/n_shows of the pair quadratic is related — the shape the MXU pair
+    prefilter (search/prefilter.py) exists for."""
     from needle_tpu import Comparator
     from needle_tpu.data import FrameHashes
     from needle_tpu.duration import Duration
@@ -578,11 +598,15 @@ def search_only_config(n_eps: int) -> None:
     rng = np.random.default_rng(11)
     step = 247619033  # ~0.248 s/hash in ns
     n_hashes = 2400  # ~10 min of opening window
-    shared = rng.integers(0, 2**32, size=360, dtype=np.uint32)  # ~90 s
+    shareds = [
+        rng.integers(0, 2**32, size=360, dtype=np.uint32)  # ~90 s
+        for _ in range(n_shows)
+    ]
     fhs = []
     for e in range(n_eps):
         h = rng.integers(0, 2**32, size=n_hashes, dtype=np.uint32)
         at = 40 + (e % 11) * 60
+        shared = shareds[e % n_shows]
         h[at : at + len(shared)] = shared
         ts = (2600090703 + np.arange(n_hashes) * step).astype(np.int64)
         fhs.append(
@@ -596,10 +620,15 @@ def search_only_config(n_eps: int) -> None:
     times, trial_stages = [], []
     results = None
     pairs = n_eps * (n_eps - 1) // 2
+    lib_desc = (
+        f"{n_eps}-episode library"
+        if n_shows == 1
+        else f"{n_eps}-episode {n_shows}-show mixed library"
+    )
 
     def partial_line(stall_s):
         base = {
-            "metric": f"search-only wall, {n_eps}-episode library "
+            "metric": f"search-only wall, {lib_desc} "
             f"({pairs} pairs), 1 chip",
             "value": round(min(times), 4) if times else None,
             "unit": "s",
@@ -646,7 +675,7 @@ def search_only_config(n_eps: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"search-only wall, {n_eps}-episode library "
+                "metric": f"search-only wall, {lib_desc} "
                 f"({pairs} pairs), 1 chip",
                 "value": round(best, 4),
                 "unit": "s",
@@ -765,6 +794,10 @@ def main():
     config = os.environ.get("NEEDLE_BENCH_CONFIG", "")
     if config.startswith("search"):
         search_only_config(int(config[len("search"):] or 300))
+        return
+    if config.startswith("mixed"):
+        # 20-show library: only ~5% of the pair quadratic is related
+        search_only_config(int(config[len("mixed"):] or 1000), n_shows=20)
         return
     if config == "small3":
         small3_config()
@@ -924,9 +957,12 @@ def main():
         search_times.append(time.time() - t0)
         kick_progress()
         snap2 = _stage_snapshot()
-        trial_stages.append(
-            {**_stage_delta(snap0, snap1), **_stage_delta(snap1, snap2)}
-        )
+        _da, _ds = _stage_delta(snap0, snap1), _stage_delta(snap1, snap2)
+        _counts = {**_da.pop("counts", {}), **_ds.pop("counts", {})}
+        _merged = {**_da, **_ds}
+        if _counts:
+            _merged["counts"] = _counts
+        trial_stages.append(_merged)
         # Re-probe the transport each trial: eras collapse MID-RUN (r3
         # recorded 79 MB/s at start degrading ~10x within minutes, turning
         # 8 s analyze trials into 100+ s ones), so the artifact carries the

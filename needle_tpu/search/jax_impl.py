@@ -519,6 +519,32 @@ class JaxSearchEngine:
         table_d = replicate(table)
         vtab_d = replicate(vtab)
 
+        # l_min per pair (cells): conservative run-length bound from the
+        # min duration and each side's max hash spacing — used by the
+        # kernels, and its minimum over the work list sizes the pair
+        # prefilter's block width.
+        for p_idx, a, b in work:
+            sa, sb = sides[a], sides[b]
+            lm = max(
+                -(-min_dur_ns // sa.max_spacing),
+                -(-min_dur_ns // sb.max_spacing),
+            )
+            pair_lm[p_idx] = min(lm, np.iinfo(np.int32).max)
+
+        # Exact MXU pair prefilter: provably-runless pairs skip the walk
+        # entirely (see prefilter.py for the bound). Auto-gated to large
+        # libraries; results for skipped pairs stay [].
+        from ..tracing import metrics as _pf_metrics
+        from .prefilter import prefilter_pairs
+
+        with span("search.prefilter", work=len(work)):
+            work, n_skipped, _pf_w = prefilter_pairs(
+                table_d, vtab_d, work, ep_slot,
+                lambda p: pair_lm[p], threshold, n_pad,
+            )
+        if n_skipped:
+            _pf_metrics.record("search.prefilter_skipped", float(n_skipped))
+
         for c0 in range(0, len(work), chunk):
             batch = work[c0 : c0 + chunk]
             # Padding lanes point at episode slot 0 with an unreachable
@@ -527,15 +553,9 @@ class JaxSearchEngine:
             ib_b = np.zeros((chunk,), np.int32)
             lm_b = np.full((chunk,), np.iinfo(np.int32).max, np.int32)
             for r, (p_idx, a, b) in enumerate(batch):
-                sa, sb = sides[a], sides[b]
                 ia_b[r] = ep_slot[a]
                 ib_b[r] = ep_slot[b]
-                lm = max(
-                    -(-min_dur_ns // sa.max_spacing),
-                    -(-min_dur_ns // sb.max_spacing),
-                )
-                lm_b[r] = min(lm, np.iinfo(np.int32).max)
-                pair_lm[p_idx] = lm_b[r]
+                lm_b[r] = pair_lm[p_idx]
 
             dispatch = (
                 _batch_pallas_bitmask if kernel == "pallas"

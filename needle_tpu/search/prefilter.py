@@ -1,0 +1,191 @@
+"""Exact MXU pair prefilter: skip whole pairs that provably have no run.
+
+The diagonal-run kernels walk every (i, diagonal) cell of every pair —
+~0.14 ms/pair at n_pad=2560, near the walk's arithmetic floor. For
+libraries that mix shows (the realistic whole-library scan the reference
+supports via its all-pairs Comparator, comparator.rs:156-250), most pairs
+share NOTHING, yet the walk still pays full price for them. This module
+computes, per pair, a *sound* upper-bound test on the MXU that costs
+~1/10 of the walk and skips the walk entirely for pairs that cannot
+contain a qualifying run. Exactness is preserved by construction: the
+test only ever skips pairs for which NO run of length >= l_min exists,
+so the surviving pairs produce byte-identical RunEntry lists.
+
+## The bound
+
+A candidate needs a run of L >= l_min consecutive diagonal cells
+(i, j=i+d) with popcount(src[i] ^ dst[j]) <= thr. Map each 32-bit hash
+to its +/-1 bit vector; then
+
+    dot(src[i], dst[j]) = 32 - 2 * popcount(src[i] ^ dst[j]) >= 32 - 2*thr
+
+for every cell of the run. Any interval of L >= 2W - 1 consecutive rows
+contains a block of W rows starting at a multiple of W, so a qualifying
+run (with W <= (l_min + 1) // 2) contains an aligned all-matching block:
+W consecutive cells (bW + u, t + u), u in [0, W), whose summed dot
+
+    C[b, t] = sum_u dot(src[bW + u], dst[t + u]) >= W * (32 - 2*thr).
+
+Therefore  max_{b,t} C[b,t] < W * (32 - 2*thr)  proves no run of length
+>= l_min exists anywhere in the pair — on any diagonal, at any position
+— and the pair can be skipped. Unrelated episode hashes have zero-mean
+dots (sigma = sqrt(32 * W) per block sum, ~32 for W=32, vs a bound of
+384 at the default thr=10), so in mixed libraries nearly every
+unrelated pair is skipped while every related pair is kept.
+
+## Computing max C on the MXU, exactly
+
+C[b, t] is a blocked cross-correlation. Decompose t = W*q + r: for each
+residue r, shift dst by r rows and block BOTH sides into rows of W*32,
+
+    F[b]    = src_pm[b*W : (b+1)*W, :]    flattened   (n/W, W*32)
+    G_r[q]  = dst_pm[r + q*W : r + (q+1)*W, :] flat   (n/W, W*32)
+    C[b, W*q + r] = <F[b], G_r[q]>  =  (F @ G_r^T)[b, q],
+
+i.e. W small matmuls per pair — pure MXU work, batched over the pair
+chunk. All inputs are +/-1 (exact in bfloat16) and every partial sum is
+an integer of magnitude <= 32 * n_pad < 2^24, so bf16 x bf16 -> f32 MXU
+accumulation computes C EXACTLY — the comparison against the bound uses
+a 0.5 slack purely against representation pedantry, never needed.
+
+Rows outside [1, nv) (reference zeroes row/col 0; tails are padding) are
+zeroed in the +/-1 expansion: a qualifying run only occupies valid rows
+on both sides, so zeroing never deflates its block sum; it only tightens
+the bound for noise.
+
+## When it runs
+
+Auto-enabled for large pair counts (the season's 378 pairs aren't worth
+the extra compiled programs) when W >= 8 and thr < 16; see
+`prefilter_plan`. NEEDLE_TPU_SEARCH_PREFILTER=on/off/auto overrides.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def prefilter_plan(n_work: int, min_lm: int, threshold: int, n_pad: int):
+    """Decide whether to prefilter and with what block width W.
+
+    Returns W (power of two, 8..64) or None. Sound for every pair whose
+    l_min >= min_lm (W <= (min_lm + 1) // 2 guarantees an aligned
+    W-block inside any qualifying run)."""
+    mode = os.environ.get("NEEDLE_TPU_SEARCH_PREFILTER", "auto")
+    if mode == "off":
+        return None
+    if threshold >= 16:  # bound W*(32-2*thr) <= 0: test can never skip
+        return None
+    w = 8
+    while w * 2 <= 64 and w * 2 <= (min_lm + 1) // 2 and n_pad % (w * 2) == 0:
+        w *= 2
+    if w > (min_lm + 1) // 2 or n_pad % w != 0:
+        return None
+    if mode != "on" and n_work < 2048:
+        # small libraries: the walk is already sub-second; extra compiled
+        # programs and the mask roundtrip aren't worth it
+        return None
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("w", "threshold", "n_pad"))
+def _chunk_max_corr(exp_tab, ia_b, ib_b, w, threshold, n_pad):
+    """Max blocked cross-correlation per pair lane.
+
+    exp_tab: (e_pad, n_pad, 32) bf16 +/-1 (invalid rows zeroed);
+    returns (chunk,) f32 of max_{b,t} C[b,t] (see module docstring)."""
+    S = exp_tab[ia_b]  # (chunk, n, 32)
+    T = exp_tab[ib_b]
+    chunk = S.shape[0]
+    nb = n_pad // w
+    F = S.reshape(chunk, nb, w * 32)
+    Tpad = jnp.pad(T, ((0, 0), (0, w), (0, 0)))
+
+    def step(best, r):
+        Tr = jax.lax.dynamic_slice_in_dim(Tpad, r, n_pad, axis=1)
+        G = Tr.reshape(chunk, nb, w * 32)
+        C = jnp.einsum(
+            "cbf,cqf->cbq", F, G, preferred_element_type=jnp.float32
+        )
+        return jnp.maximum(best, C.max(axis=(1, 2))), None
+
+    best0 = jnp.full((chunk,), -jnp.inf, jnp.float32)
+    best, _ = jax.lax.scan(step, best0, jnp.arange(w))
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def expand_pm1(table, vtab, n_pad):
+    """u32 hash table -> (e_pad, n_pad, 32) bf16 in {-1, 0, +1}.
+
+    Bit c of hash h maps to +1 if set else -1; rows with vtab False
+    (row 0, tails past nv) are zeroed."""
+    bits = (table[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    pm = bits.astype(jnp.bfloat16) * 2 - 1
+    return pm * vtab[..., None].astype(jnp.bfloat16)
+
+
+def keep_bound(w: int, threshold: int) -> float:
+    return w * (32 - 2 * threshold) - 0.5
+
+
+def prefilter_pairs(table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad):
+    """Compact `work` [(p_idx, a, b), ...] to the pairs that can contain a
+    qualifying run. Returns (kept_work, n_skipped, w_used).
+
+    lm_of: p_idx -> l_min (cells). The block width is derived from the
+    smallest l_min over the work list, so the test is sound for every
+    pair. In auto mode the first ~2048 pairs act as a probe: if almost
+    nothing is skippable (dense single-show libraries — search300/1000's
+    shape), the remaining pairs are passed through unfiltered so the
+    dense case pays ~0.2 s instead of ~15% of the walk. The probe's own
+    masks are still applied — they are sound regardless. Two coalesced
+    device->host transfers at most."""
+    if not work:
+        return work, 0, None
+    min_lm = min(lm_of(p) for p, _, _ in work)
+    w = prefilter_plan(len(work), min_lm, threshold, n_pad)
+    if w is None:
+        return work, 0, None
+    exp = expand_pm1(table_d, vtab_d, n_pad)
+    chunk = 256  # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB
+    bound = keep_bound(w, threshold)
+    adaptive = (
+        os.environ.get("NEEDLE_TPU_SEARCH_PREFILTER", "auto") == "auto"
+    )
+    probe_pairs = 8 * chunk
+
+    def masks_for(span_work):
+        masks = []
+        for c0 in range(0, len(span_work), chunk):
+            batch = span_work[c0 : c0 + chunk]
+            ia = np.zeros((chunk,), np.int32)
+            ib = np.zeros((chunk,), np.int32)
+            for r, (_, a, b) in enumerate(batch):
+                ia[r] = ep_slot[a]
+                ib[r] = ep_slot[b]
+            best = _chunk_max_corr(exp, ia, ib, w, threshold, n_pad)
+            masks.append(best >= bound)
+        flat = np.concatenate(jax.device_get(masks))[: len(span_work)]
+        return flat
+
+    if adaptive and len(work) > probe_pairs:
+        head, tail = work[:probe_pairs], work[probe_pairs:]
+        head_mask = masks_for(head)
+        skip_frac = 1.0 - head_mask.mean()
+        if skip_frac < 0.15:
+            kept = [
+                wk for wk, keep in zip(head, head_mask) if keep
+            ] + tail
+            return kept, len(work) - len(kept), w
+        flat = np.concatenate([head_mask, masks_for(tail)])
+    else:
+        flat = masks_for(work)
+    kept = [wk for wk, keep in zip(work, flat) if keep]
+    return kept, len(work) - len(kept), w

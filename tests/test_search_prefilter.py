@@ -1,0 +1,237 @@
+"""The MXU pair prefilter must NEVER change results — only skip pairs
+that provably contain no qualifying run (see search/prefilter.py for the
+bound) — and must actually skip unrelated pairs in mixed libraries."""
+
+import numpy as np
+import pytest
+
+from needle_tpu.search import prefilter as pf
+
+
+def test_plan_gating(monkeypatch):
+    monkeypatch.delenv("NEEDLE_TPU_SEARCH_PREFILTER", raising=False)
+    # auto: small work lists never prefilter
+    assert pf.prefilter_plan(100, 200, 10, 2560) is None
+    # auto: large work lists do, with W = biggest pow2 <= (lm+1)//2 (<=64)
+    assert pf.prefilter_plan(5000, 81, 10, 2560) == 32
+    assert pf.prefilter_plan(5000, 200, 10, 2560) == 64
+    assert pf.prefilter_plan(5000, 2000, 10, 2560) == 64  # capped
+    # W must divide n_pad
+    assert pf.prefilter_plan(5000, 200, 10, 2560 + 4) is None
+    # lm too small for the weakest width
+    assert pf.prefilter_plan(5000, 9, 10, 2560) is None
+    # bound non-positive: can never skip
+    assert pf.prefilter_plan(5000, 200, 16, 2560) is None
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "off")
+    assert pf.prefilter_plan(5000, 200, 10, 2560) is None
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    assert pf.prefilter_plan(4, 81, 10, 2560) == 32
+
+
+def _max_blocked_corr_np(src, dst, nv, mv, w):
+    """O(n^2) oracle for max_{b,t} C[b,t] on +/-1 expansions."""
+    n = len(src)
+
+    def pm(h, k):
+        bits = (h[:, None] >> np.arange(32)) & 1
+        out = (bits * 2 - 1).astype(np.int64)
+        out[0] = 0
+        out[k:] = 0
+        return out
+
+    S, T = pm(src, nv), pm(dst, mv)
+    best = -(10**9)
+    for b in range(n // w):
+        blk = S[b * w : (b + 1) * w]
+        for t in range(n):
+            win = T[t : t + w]
+            if len(win) < w:
+                win = np.pad(win, ((0, w - len(win)), (0, 0)))
+            best = max(best, int((blk * win).sum()))
+    return best
+
+
+def test_chunk_max_corr_exact(rng):
+    n_pad, w = 128, 8
+    e = 4
+    table = rng.integers(0, 2**32, size=(e, n_pad), dtype=np.uint32)
+    nv = [100, 128, 37, 9]
+    vtab = np.zeros((e, n_pad), bool)
+    for k in range(e):
+        vtab[k, 1 : nv[k]] = True
+    exp = pf.expand_pm1(table, vtab, n_pad)
+    ia = np.array([0, 1, 2, 3], np.int32)
+    ib = np.array([1, 0, 3, 2], np.int32)
+    got = np.asarray(pf._chunk_max_corr(exp, ia, ib, w, 10, n_pad))
+    for r in range(4):
+        want = _max_blocked_corr_np(
+            table[ia[r]], table[ib[r]], nv[ia[r]], nv[ib[r]], w
+        )
+        assert got[r] == want, (r, got[r], want)
+
+
+def _fh(h, hash_ms=300):
+    from needle_tpu.data import FrameHashes
+    from needle_tpu.duration import Duration
+
+    h = np.asarray(h, dtype=np.uint32)
+    step = 247619033
+    ts = (2600090703 + np.arange(len(h)) * step).astype(np.int64)
+    return FrameHashes(
+        h, ts, np.zeros(0, np.uint32), np.zeros(0, np.int64),
+        Duration.from_millis(hash_ms), "f" * 32,
+    )
+
+
+def _run(fhs, threshold, min_open_s, engine):
+    from needle_tpu import Comparator
+    from needle_tpu.duration import Duration
+
+    cmp = (
+        Comparator.from_files(
+            [f"v{k}.mkv" for k in range(len(fhs))], engine=engine
+        )
+        .with_hash_match_threshold(threshold)
+        .with_min_opening_duration(Duration.from_secs(min_open_s))
+    )
+    res = cmp.run_with_frame_hashes(
+        fhs, display=False, use_skip_files=False, write_skip_files=False
+    )
+    return [
+        None
+        if r.opening is None
+        else (r.opening[0].total_nanos(), r.opening[1].total_nanos())
+        for r in res
+    ]
+
+
+def test_mixed_library_results_identical_and_pairs_skipped(
+    rng, monkeypatch
+):
+    """2 'shows' of 3 episodes: within-show pairs share a run (with bit
+    flips and borderline cells), cross-show pairs share nothing. Forced-on
+    prefilter must skip cross-show pairs and change NOTHING."""
+    from needle_tpu.tracing import metrics
+
+    shared_a = rng.integers(0, 2**32, size=120, dtype=np.uint32)
+    shared_b = rng.integers(0, 2**32, size=120, dtype=np.uint32)
+    fhs = []
+    for show, shared in ((0, shared_a), (1, shared_b)):
+        for e in range(3):
+            h = rng.integers(0, 2**32, size=400, dtype=np.uint32)
+            at = 30 + 40 * e
+            h[at : at + 120] = shared
+            flips = rng.integers(0, 120, size=5)
+            h[at + flips] ^= np.uint32(1) << rng.integers(
+                0, 32, size=5
+            ).astype(np.uint32)
+            fhs.append(_fh(h))
+
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "off")
+    base = _run(fhs, 10, 20, "jax")
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    before = metrics.snapshot().get("search.prefilter_skipped", (0.0,))[0]
+    on = _run(fhs, 10, 20, "jax")
+    skipped = (
+        metrics.snapshot().get("search.prefilter_skipped", (0.0,))[0]
+        - before
+    )
+    assert on == base == _run(fhs, 10, 20, "numpy")
+    # all 9 cross-show pairs are skippable; at least most must be
+    assert skipped >= 5, f"prefilter skipped only {skipped} pairs"
+    for r in base[:3]:
+        assert r is not None  # the related runs were actually found
+
+
+def test_adversarial_exact_threshold_run_kept(monkeypatch):
+    """A run at EXACTLY l_min cells, each cell at EXACTLY the hamming
+    threshold: the weakest qualifying pair must survive the prefilter."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    rng = np.random.default_rng(7)
+    n = 400
+    thr, min_open_s = 10, 20
+    # hash step 247619033 ns -> l_min = ceil(20e9 / step) = 81 cells
+    run = rng.integers(0, 2**32, size=81, dtype=np.uint32)
+    h1 = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    h2 = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    h1[37 : 37 + 81] = run
+    noisy = run.copy()
+    for k in range(81):  # flip exactly thr bits of every cell
+        bits = rng.choice(32, size=thr, replace=False)
+        for b in bits:
+            noisy[k] ^= np.uint32(1) << np.uint32(b)
+    h2[160 : 160 + 81] = noisy
+    fhs = [_fh(h1), _fh(h2)]
+    got = _run(fhs, thr, min_open_s, "jax")
+    assert got == _run(fhs, thr, min_open_s, "numpy")
+    assert got[0] is not None
+
+
+def test_randomized_prefilter_never_changes_results(rng, monkeypatch):
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    for trial in range(4):
+        n_eps = int(rng.integers(3, 6))
+        lens = rng.integers(120, 400, size=n_eps)
+        shared_len = int(rng.integers(85, 140))
+        shared = rng.integers(0, 2**32, size=shared_len, dtype=np.uint32)
+        fhs = []
+        for e in range(n_eps):
+            h = rng.integers(0, 2**32, size=int(lens[e]), dtype=np.uint32)
+            if e % 2 == 0 and lens[e] > shared_len + 2:
+                at = int(rng.integers(1, lens[e] - shared_len))
+                h[at : at + shared_len] = shared
+                flips = rng.integers(0, shared_len, size=4)
+                h[at + flips] ^= np.uint32(1) << rng.integers(
+                    0, 32, size=4
+                ).astype(np.uint32)
+            fhs.append(_fh(h))
+        threshold = int(rng.integers(0, 14))
+        jax_res = _run(fhs, threshold, 20, "jax")
+        monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "off")
+        off_res = _run(fhs, threshold, 20, "jax")
+        monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+        assert jax_res == off_res == _run(fhs, threshold, 20, "numpy"), (
+            f"trial {trial} diverged"
+        )
+
+
+def test_adaptive_probe_passes_dense_library_through(rng, monkeypatch):
+    """auto mode with >2048 pairs: a dense library (nothing skippable in
+    the probe) must pass the tail through unfiltered; a sparse one must
+    keep filtering. Soundness holds either way."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "auto")
+    n_pad, n_eps = 128, 70
+    ts_lm = 15  # -> w = 8
+
+    def build(related):
+        if related:
+            base = rng.integers(0, 2**32, size=n_pad, dtype=np.uint32)
+            table = np.broadcast_to(base, (n_eps, n_pad)).copy()
+        else:
+            table = rng.integers(
+                0, 2**32, size=(n_eps, n_pad), dtype=np.uint32
+            )
+        vtab = np.zeros((n_eps, n_pad), bool)
+        vtab[:, 1:120] = True
+        return table, vtab
+
+    work = []
+    p = 0
+    for a in range(n_eps):
+        for b in range(a + 1, n_eps):
+            work.append((p, a, b))
+            p += 1
+    assert len(work) > 2048
+    slot = {e: e for e in range(n_eps)}
+
+    table, vtab = build(related=True)
+    kept, n_skip, w = pf.prefilter_pairs(
+        table, vtab, work, slot, lambda _: ts_lm, 10, n_pad
+    )
+    assert w == 8 and n_skip == 0 and kept == work
+
+    table, vtab = build(related=False)
+    kept, n_skip, w = pf.prefilter_pairs(
+        table, vtab, work, slot, lambda _: ts_lm, 10, n_pad
+    )
+    assert w == 8 and n_skip > len(work) * 0.9
