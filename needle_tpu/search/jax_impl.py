@@ -607,7 +607,10 @@ class JaxSearchEngine:
             _metrics.record(
                 "search.collect_device_group", _time.perf_counter() - _tg
             )
-        counts_all = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        if parts:
+            counts_all = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        else:  # every pair prefilter-skipped: nothing was launched
+            counts_all = np.zeros((0, 1), np.uint8)
         _metrics.record(
             "search.collect_device", _time.perf_counter() - _t0
         )  # device execute + concat + d2h of the coalesced bitmask

@@ -329,6 +329,95 @@ def ingest_hash_exactness(rng, seconds: float = 45.0):
     return res
 
 
+def make_prefilter_libraries(rng):
+    """Libraries whose l_min supports a W>=8 prefilter block (20 s min
+    opening at 300 ms hashes -> l_min 81 -> W=32): a 2-show mixed library
+    (cross-show pairs skippable), an unrelated-only library (every pair
+    skippable), and the weakest-qualifying-run adversary — a run of
+    exactly l_min cells, each at exactly the hamming threshold, whose
+    blocked correlation meets the keep bound with zero slack."""
+    libs = []
+    shared_a = rng.integers(0, 2**32, size=120, dtype=np.uint32)
+    shared_b = rng.integers(0, 2**32, size=120, dtype=np.uint32)
+    fhs = []
+    for shared in (shared_a, shared_b):
+        for e in range(3):
+            h = rng.integers(0, 2**32, size=700, dtype=np.uint32)
+            at = 30 + 40 * e
+            h[at : at + 120] = shared
+            flips = rng.integers(0, 120, size=5)
+            h[at + flips] ^= np.uint32(1) << rng.integers(
+                0, 32, size=5
+            ).astype(np.uint32)
+            fhs.append(_fh(h))
+    libs.append(("pf-mixed", fhs, 10, 20, False))
+    libs.append((
+        "pf-unrelated",
+        [_fh(rng.integers(0, 2**32, size=600, dtype=np.uint32))
+         for _ in range(4)],
+        10, 20, False,
+    ))
+    thr = 10
+    run = rng.integers(0, 2**32, size=81, dtype=np.uint32)
+    h1 = rng.integers(0, 2**32, size=640, dtype=np.uint32)
+    h2 = rng.integers(0, 2**32, size=640, dtype=np.uint32)
+    h1[37 : 37 + 81] = run
+    noisy = run.copy()
+    for k in range(81):
+        for b in rng.choice(32, size=thr, replace=False):
+            noisy[k] ^= np.uint32(1) << np.uint32(b)
+    h2[160 : 160 + 81] = noisy
+    libs.append(("pf-exact-threshold", [_fh(h1), _fh(h2)], thr, 20, False))
+    return libs
+
+
+def prefilter_parity(rng):
+    """Forced-prefilter leg on the default backend. The prefilter's skip
+    bound is computed as bf16 +/-1 MXU matmuls claimed integer-exact
+    (prefilter.py) — a hardware property interpret-mode tests can't
+    back. Run the full JAX engine with NEEDLE_TPU_SEARCH_PREFILTER=on
+    and compare every info against the oracle; report pairs skipped."""
+    import os
+
+    from needle_tpu.tracing import metrics
+
+    libs = make_prefilter_libraries(rng)
+    mismatches = []
+    pairs = 0
+    before = metrics.snapshot().get("search.prefilter_skipped", (0.0,))[0]
+    prev = os.environ.get("NEEDLE_TPU_SEARCH_PREFILTER")
+    os.environ["NEEDLE_TPU_SEARCH_PREFILTER"] = "on"
+    t0 = time.time()
+    try:
+        for name, fhs, thr, mo, endings in libs:
+            want = run_engine(fhs, thr, mo, endings, "numpy")
+            got = run_engine(fhs, thr, mo, endings, "jax")
+            pairs += len(got)
+            if got != want:
+                bad = [k for k, (g, o) in enumerate(zip(got, want))
+                       if g != o]
+                mismatches.append({"library": name, "bad_pairs": bad[:8]})
+    finally:
+        if prev is None:
+            os.environ.pop("NEEDLE_TPU_SEARCH_PREFILTER", None)
+        else:
+            os.environ["NEEDLE_TPU_SEARCH_PREFILTER"] = prev
+    skipped = (
+        metrics.snapshot().get("search.prefilter_skipped", (0.0,))[0]
+        - before
+    )
+    out = {
+        "exact": not mismatches,
+        "libraries": len(libs),
+        "pair_infos_checked": pairs,
+        "pairs_skipped": int(skipped),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    if mismatches:
+        out["mismatches"] = mismatches
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=6)
@@ -381,6 +470,8 @@ def main():
     }
     if mismatches:
         out["mismatches"] = mismatches
+    if not args.eps_only:
+        out["prefilter"] = prefilter_parity(rng)
     if not args.skip_eps:
         eps_stats = validate_exact_eps(rng, seconds=args.eps_seconds)
         from needle_tpu.fingerprint.jax_impl import _exact_eps
@@ -412,9 +503,12 @@ def main():
             v["hashes_differing"] == 0 for v in ingest_hashes.values()
         )
     print(json.dumps(out))
+    pf = out.get("prefilter", {})
     return (
         0
         if out["exact"]
+        and pf.get("exact", True)
+        and pf.get("pairs_skipped", 1) > 0
         and out.get("eps_ok", True)
         and out.get("hashes_bit_exact", True)
         and out.get("ingest_eps_ok", True)
