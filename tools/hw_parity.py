@@ -471,7 +471,11 @@ def main():
     if mismatches:
         out["mismatches"] = mismatches
     if not args.eps_only:
-        out["prefilter"] = prefilter_parity(rng)
+        # own rng stream: keeps the eps/hash legs' sample audio (and thus
+        # their recorded error bounds) comparable across artifact records
+        out["prefilter"] = prefilter_parity(
+            np.random.default_rng(args.seed + 1)
+        )
     if not args.skip_eps:
         eps_stats = validate_exact_eps(rng, seconds=args.eps_seconds)
         from needle_tpu.fingerprint.jax_impl import _exact_eps
