@@ -303,6 +303,25 @@ class Analyzer:
                         )
                         ending_nv = len(ending_seg)
                     rate = new_rate
+            if channels == 2:
+                # The fused device program's order is decimate -> downmix
+                # (fingerprint_ingest_jax_batch), so applying the SAME
+                # integer downmix ((l+r)/2, C truncation) here — after the
+                # host FIR — is bit-identical to the device placement and
+                # halves the uploaded bytes again on starved pipes.
+                from .fingerprint.numpy_impl import downmix_stereo_i16
+
+                with span("ingest.downmix"):
+                    opening_seg = downmix_stereo_i16(
+                        np.asarray(opening_seg[:opening_nv])
+                    )
+                    opening_nv = len(opening_seg)
+                    if ending_seg is not None:
+                        ending_seg = downmix_stereo_i16(
+                            np.asarray(ending_seg[:ending_nv])
+                        )
+                        ending_nv = len(ending_seg)
+                    channels = 1
         return (opening_seg, opening_nv, ending_seg, ending_nv,
                 rate, channels, seek_to)
 

@@ -228,3 +228,31 @@ def test_decimation_placement_agrees(tmp_path, rng, monkeypatch):
         d = popcount_u32(a ^ b)
         assert d.max() <= 2, d.max()
         assert d.sum() / (32.0 * max(1, len(a))) < 0.005
+
+
+def test_host_placement_downmixes_stereo(tmp_path, rng, monkeypatch):
+    """With NEEDLE_TPU_DECIMATE=host, stereo sources are decimated AND
+    downmixed on host (the fused device order is decimate -> downmix, so
+    the host integer downmix is bit-identical) — uploads are mono, and
+    the resulting hashes exactly match the device placement's."""
+    rate = 44100
+    p = tmp_path / "stereo_host_dm.wav"
+    _stereo_wav(p, rng, 30.0, rate)
+
+    hd = Duration.from_secs_f32(np.float32(0.3))
+    outs = {}
+    for mode in ("auto", "host"):
+        monkeypatch.setenv("NEEDLE_TPU_DECIMATE", mode)
+        a = Analyzer.from_files([p], backend="jax")
+        if mode == "host":
+            seg, nv, _, _, seg_rate, seg_ch, _ = a._raw_segments(p)
+            assert seg_ch == 1, "host placement should upload mono"
+            assert seg_rate < rate, "host placement should decimate first"
+            assert nv == len(seg)
+        outs[mode] = a.run(hd, persist=False)[0]
+    np.testing.assert_array_equal(
+        outs["auto"].opening_hashes, outs["host"].opening_hashes
+    )
+    np.testing.assert_array_equal(
+        outs["auto"].ending_hashes, outs["host"].ending_hashes
+    )
