@@ -312,13 +312,18 @@ class Analyzer:
                 from .fingerprint.numpy_impl import downmix_stereo_i16
 
                 with span("ingest.downmix"):
+                    # Trim to an even interleaved count first: a truncated
+                    # stereo source can end mid-frame, and the device
+                    # placement already drops the dangling sample via
+                    # n_valid // channels — match it instead of letting
+                    # reshape(-1, 2) raise (ADVICE r3).
                     opening_seg = downmix_stereo_i16(
-                        np.asarray(opening_seg[:opening_nv])
+                        np.asarray(opening_seg[: opening_nv & ~1])
                     )
                     opening_nv = len(opening_seg)
                     if ending_seg is not None:
                         ending_seg = downmix_stereo_i16(
-                            np.asarray(ending_seg[:ending_nv])
+                            np.asarray(ending_seg[: ending_nv & ~1])
                         )
                         ending_nv = len(ending_seg)
                     channels = 1

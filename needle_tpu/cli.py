@@ -29,23 +29,36 @@ def _build_parser() -> argparse.ArgumentParser:
             "files (TPU-native implementation)."
         ),
     )
-    p.add_argument(
-        "--no-threading",
-        action="store_true",
-        help="Disable multi-threading.",
-    )
-    p.add_argument(
-        "--file-headers-only",
-        action="store_true",
-        help=(
-            "By default, video files are validated using FFmpeg, which is "
-            "extremely accurate. Setting this flag will switch to just "
-            "checking file headers."
-        ),
-    )
+    def add_global_flags(parser, suppress: bool):
+        # main.rs:178-193: --no-threading/--file-headers-only are
+        # clap global=true flags — accepted before OR after the
+        # subcommand. Subparser copies default to SUPPRESS so a
+        # root-level occurrence isn't clobbered by the subparser.
+        kw = {"default": argparse.SUPPRESS} if suppress else {}
+        parser.add_argument(
+            "--no-threading",
+            action="store_true",
+            help="Disable multi-threading.",
+            **kw,
+        )
+        parser.add_argument(
+            "--file-headers-only",
+            action="store_true",
+            help=(
+                "By default, video files are validated using FFmpeg, which "
+                "is extremely accurate. Setting this flag will switch to "
+                "just checking file headers."
+            ),
+            **kw,
+        )
+
+    add_global_flags(p, suppress=False)
     sub = p.add_subparsers(dest="command", required=True)
 
-    sub.add_parser("info", help="Displays info about needle and its dependencies.")
+    pi = sub.add_parser(
+        "info", help="Displays info about needle and its dependencies."
+    )
+    add_global_flags(pi, suppress=True)
 
     pa = sub.add_parser(
         "analyze",
@@ -55,9 +68,16 @@ def _build_parser() -> argparse.ArgumentParser:
             "file, and is used by the 'search' command."
         ),
     )
+    add_global_flags(pa, suppress=True)
     pa.add_argument("paths", nargs="+", type=Path, help="Video files or directories to analyze.")
     pa.add_argument(
-        "--mode", choices=["audio"], default="audio", help="Analysis mode."
+        # main.rs:31: #[clap(short, long, ...)] — the only short alias
+        # in the reference CLI
+        "-m",
+        "--mode",
+        choices=["audio"],
+        default="audio",
+        help="Analysis mode.",
     )
     pa.add_argument(
         "--opening-search-percentage",
@@ -106,6 +126,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "frame hash data."
         ),
     )
+    add_global_flags(ps, suppress=True)
     ps.add_argument(
         "paths", nargs="+", type=Path, help="Video files or directories to search."
     )

@@ -17,6 +17,7 @@ and replicate the reference exactly:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
@@ -65,11 +66,26 @@ class NumpySearchEngine:
             src, dst, _lcs_numpy
         )
 
-    def search_pairs(self, comparator, frame_hashes, pairs):
-        return [
-            self.search_pair(comparator, frame_hashes[i], frame_hashes[j])
-            for (i, j) in pairs
-        ]
+    def search_pairs(self, comparator, frame_hashes, pairs, threading=True):
+        # The reference rayon-parallelizes the pair loop even on CPU
+        # (comparator.rs:549-564). numpy releases the GIL inside the DP's
+        # vectorized ops, so a thread pool gets real CPU parallelism; the
+        # --no-threading kill-switch falls back to the serial loop.
+        if not threading or len(pairs) < 2:
+            return [
+                self.search_pair(comparator, frame_hashes[i], frame_hashes[j])
+                for (i, j) in pairs
+            ]
+        from multiprocessing.pool import ThreadPool
+
+        workers = min(len(pairs), os.cpu_count() or 1)
+        with ThreadPool(workers) as pool:
+            return pool.starmap(
+                lambda i, j: self.search_pair(
+                    comparator, frame_hashes[i], frame_hashes[j]
+                ),
+                pairs,
+            )
 
 
 def _lcs_numpy(src, src_ts, dst, dst_ts, src_hd, dst_hd, is_opening, cfg):
@@ -340,7 +356,10 @@ class Comparator:
         return pairs
 
     def search_pair_infos(
-        self, frame_hashes: List[FrameHashes], pairs: List[Tuple[int, int]]
+        self,
+        frame_hashes: List[FrameHashes],
+        pairs: List[Tuple[int, int]],
+        threading: bool = True,
     ) -> List[OpeningAndEndingInfo]:
         """Run the search engine over an explicit pair list. This is the
         multi-host shard entry point: each process searches its shard of
@@ -350,7 +369,9 @@ class Comparator:
 
         engine = self._engine()
         with span("search.pairs", pairs=len(pairs), engine=type(engine).__name__):
-            return engine.search_pairs(self, frame_hashes, pairs)
+            return engine.search_pairs(
+                self, frame_hashes, pairs, threading=threading
+            )
 
     def run_with_frame_hashes(
         self,
@@ -363,7 +384,7 @@ class Comparator:
         """comparator.rs:524-629."""
         n = len(self.videos)
         pairs = self.pair_order(n)
-        infos = self.search_pair_infos(frame_hashes, pairs)
+        infos = self.search_pair_infos(frame_hashes, pairs, threading)
         data = [
             (i, j, info)
             for (i, j), info in zip(pairs, infos)

@@ -657,6 +657,15 @@ class IngestDispatcher:
                     rows.append(self._zero_rows[in_len])
         with span("ingest.upload"):
             dev_rows = jax.device_put(rows)
+        # Record the bytes that actually crossed the wire (numpy rows only
+        # — cached device zero-rows move nothing) so the bench artifact can
+        # verify value ≈ bytes/h2d + compute from its own fields.
+        from ..tracing import metrics
+
+        metrics.record(
+            "ingest.upload_bytes",
+            float(sum(r.nbytes for r in rows if isinstance(r, np.ndarray))),
+        )
         with span("ingest.dispatch"):
             device_batch = jnp.stack(dev_rows)
             out = _ingest_fingerprint_batched(

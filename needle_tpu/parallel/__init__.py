@@ -34,6 +34,14 @@ where local == global). This fits the workload: episodes/pairs are
 embarrassingly parallel, inputs are small, and no cross-pair communication
 exists — a global-mesh formulation would buy nothing but the collective
 overhead.
+
+**Replication bound.** Each search process materializes the full episode
+hash table to walk its pair shard: O(episodes × n_pad × 4 B) host + device
+memory per process (1000 episodes × 2560 padded hashes ≈ 10 MB — far from
+binding). Episode-count scaling hits the PAIR quadratic (O(n²) work,
+sharded) long before the LINEAR table replication; if a library ever
+outgrew device memory, the fix is partitioning the pair list into
+episode-range tiles and loading per-tile tables, not sharding the table.
 """
 
 from __future__ import annotations

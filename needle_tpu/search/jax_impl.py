@@ -735,8 +735,12 @@ class JaxSearchEngine:
         if host_diags:
             _metrics.record("search.extract_host_fallback", float(host_diags))
 
-    def search_pairs(self, comparator, frame_hashes, pairs):
-        """Engine entry point used by Comparator.run_with_frame_hashes."""
+    def search_pairs(self, comparator, frame_hashes, pairs, threading=True):
+        """Engine entry point used by Comparator.run_with_frame_hashes.
+
+        `threading` is accepted for engine-interface parity; the device
+        batch path is already parallel across pairs (the flag governs the
+        CPU fallback engine)."""
         from ..comparator import OpeningAndEndingInfo
         from ..errors import FrameHashDataNoEnding
 

@@ -7,6 +7,7 @@ find_video_files, compute_header_md5sum, ffmpeg_version[_string]).
 from __future__ import annotations
 
 import hashlib
+import os
 from pathlib import Path
 from typing import List, Sequence
 
@@ -96,12 +97,20 @@ def _is_video_header(buf: bytes) -> bool:
 
 
 # needle-tpu extension: also accept pre-decoded audio files (.wav/.pcm/.raw)
-# as analyzable inputs. The reference requires a video stream; large-scale
-# TPU pipelines commonly feed pre-decoded PCM instead. Set to False for
-# strict reference semantics.
-ALLOW_AUDIO_ONLY_FILES = True
-
+# as analyzable inputs. The reference requires a video stream (util.rs:22-53),
+# so discovery defaults to strict reference semantics; large-scale TPU
+# pipelines that feed pre-decoded PCM opt in with NEEDLE_TPU_ALLOW_AUDIO=1
+# (read per call, so tests/benches can flip it without reimports).
 _AUDIO_ONLY_SUFFIXES = (".wav", ".pcm", ".raw")
+
+
+def allow_audio_only_files() -> bool:
+    return os.environ.get("NEEDLE_TPU_ALLOW_AUDIO", "0") not in (
+        "0",
+        "",
+        "off",
+        "false",
+    )
 
 
 def is_valid_video_file(path, full: bool = True, audio: bool = True) -> bool:
@@ -117,7 +126,10 @@ def is_valid_video_file(path, full: bool = True, audio: bool = True) -> bool:
     if str(path).endswith(FRAME_HASH_DATA_FILE_NAME):
         return False
 
-    if ALLOW_AUDIO_ONLY_FILES and path.suffix.lower() in _AUDIO_ONLY_SUFFIXES:
+    if (
+        path.suffix.lower() in _AUDIO_ONLY_SUFFIXES
+        and allow_audio_only_files()
+    ):
         return path.is_file()
 
     if not full:

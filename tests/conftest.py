@@ -5,6 +5,9 @@ from pathlib import Path
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding code
 # paths are exercised without TPU hardware.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Test fixtures are WAV/PCM seasons; discovery defaults to reference
+# semantics (video stream required, util.rs:22-53) so tests opt in.
+os.environ.setdefault("NEEDLE_TPU_ALLOW_AUDIO", "1")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

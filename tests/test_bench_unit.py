@@ -363,3 +363,90 @@ def test_wait_for_era_recovery_clears_and_bounds():
         60.0, budget_s=5.0, _sleep=sleeps.append, _probe=lambda: 10.0
     )
     assert not ok and probes == [10.0] and len(sleeps) == 2
+
+
+def _r3_style_base():
+    """A make_line-shaped dict with the exact bloat that destroyed
+    BENCH_r03.json: six ~700 B per-trial stage dicts in the same object
+    as the headline fields (VERDICT r3 missing #1)."""
+    stage = {
+        "ingest.read_raw": 0.006, "ingest.batch_assemble": 3.442,
+        "ingest.upload": 33.982, "ingest.dispatch": 32.582,
+        "ingest.collect": 6.668, "ingest.rescan": 1.076,
+        "analyze.decode": 65.252, "analyze.fingerprint": 12.527,
+        "analyze.assemble": 0.024, "search.pairs": 0.608,
+        "search.prefilter": 0.0, "search.launch": 0.03,
+        "search.collect": 0.404, "search.collect_device": 0.184,
+        "search.collect_unpack": 0.029, "search.extract": 0.19,
+        "counts": {"search.extract_diags": 1561,
+                   "ingest.upload_bytes": 537_000_000},
+    }
+    return {
+        "metric": "analyze+search wall, 28-ep season (~20 min/ep), 1 chip",
+        "value": 8.28, "unit": "s", "vs_baseline": 0.4705,
+        "speedup_vs_reference": 2.13, "value_total_min": 9.1,
+        "analyze_s": 7.6, "search_s": 0.68, "accuracy_vs_truth": 1.0,
+        "h2d_mb_s": 71.2, "bytes_uploaded_mb": 537.0,
+        "upload_floor_s": 7.54, "minutes_audio_per_sec_analyze": 1.2,
+        "pairs_per_sec_search": 556.0, "decimation_placement": "host",
+        "trials": 5, "trials_run": 6,
+        "setup_s": 12.3, "placement_per_trial": ["host"] * 6,
+        "era_wait_probes_mb_s": [71.2], "era_wait_s": 1.2,
+        "analyze_trials_s": [7.6, 42.1, 100.3, 55.0, 30.2, 9.0],
+        "search_trials_s": [0.68] * 6,
+        "h2d_mb_s_per_trial": [71.2, 30.0, 9.1, 20.0, 55.0, 70.0],
+        "stages_per_trial_s": [stage] * 6,
+        "extension_probes_mb_s": [12.0, 40.0, 75.0],
+    }
+
+
+def test_emit_result_final_line_is_compact_headline(capsys):
+    """The LAST stdout line must parse and fit the driver's tail capture;
+    the stage breakdowns must ride a separate, earlier detail line."""
+    import json
+
+    bench = _bench()
+    bench.emit_result(_r3_style_base())
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    head = json.loads(lines[-1])
+    assert len(lines[-1].encode()) <= bench.HEADLINE_BUDGET_B
+    assert head["value"] == 8.28
+    assert head["vs_baseline"] == 0.4705
+    assert head["value_total_min"] == 9.1
+    assert head["bytes_uploaded_mb"] == 537.0
+    assert head["upload_floor_s"] == 7.54
+    assert "stages_per_trial_s" not in head
+    detail = json.loads(lines[0])
+    assert detail["stages_per_trial_s"][0]["ingest.upload"] == 33.982
+    assert detail["detail_for"] == head["metric"]
+
+
+def test_emit_result_headline_never_exceeds_budget(capsys):
+    """Even pathological field sizes (giant error text, absurd metric)
+    must shrink to <= HEADLINE_BUDGET_B with the core fields intact."""
+    import json
+
+    bench = _bench()
+    base = _r3_style_base()
+    base["partial"] = True
+    base["error"] = "transport stalled: " + "x" * 5000
+    bench.emit_result(base)
+    lines = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(lines[-1])
+    assert len(lines[-1].encode()) <= bench.HEADLINE_BUDGET_B
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in head
+
+
+def test_emit_result_no_detail_when_compact(capsys):
+    """A base that is already headline-only prints exactly one line."""
+    import json
+
+    bench = _bench()
+    bench.emit_result(
+        {"metric": "m", "value": 1.0, "unit": "s", "vs_baseline": 0.5}
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == 1.0

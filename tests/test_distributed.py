@@ -33,7 +33,7 @@ import sys
 # otherwise route this onto the TPU tunnel); 2 virtual devices per process
 # so the per-process local mesh is a real (2-device) mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"  # 2 virtual devices/process
 sys.path.insert(0, sys.argv[1])
 
 import jax
@@ -49,12 +49,13 @@ from needle_tpu.parallel import local_mesh, set_mesh
 import needle_tpu.parallel.distributed as dist
 
 coord, pid, season = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+nproc = int(sys.argv[5])
 
-dist.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+dist.initialize(coordinator_address=coord, num_processes=nproc, process_id=pid)
 assert dist.is_initialized()
-assert dist.process_count() == 2, dist.process_count()
+assert dist.process_count() == nproc, dist.process_count()
 assert jax.process_index() == pid
-assert len(jax.devices()) == 2 * len(jax.local_devices())
+assert len(jax.devices()) == nproc * len(jax.local_devices())
 
 # per-process local mesh: the JAX engines shard their batched dispatches
 # over THIS process's 2 addressable devices
@@ -97,7 +98,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_analyze_search(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_distributed_analyze_search(tmp_path, nproc):
+    """2 processes = the standard leg; 4 processes (VERDICT r3 next #9)
+    proves the shard/all-gather logic has no pairwise-only assumptions
+    (episode shards of 1, uneven pair shards 2/2/1/1)."""
     from needle_tpu.testing import make_synthetic_season
 
     season = tmp_path / "season"
@@ -118,18 +123,21 @@ def test_two_process_distributed_analyze_search(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(REPO), coord, str(pid), str(season)],
+            [
+                sys.executable, str(worker), str(REPO), coord, str(pid),
+                str(season), str(nproc),
+            ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in (0, 1)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=420 + 120 * nproc)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -139,13 +147,15 @@ def test_two_process_distributed_analyze_search(tmp_path):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"process {pid}: OK" in out
 
-    # every shard analyzed (4 .dat files from 2 processes, 2 each)
+    # every shard analyzed (4 .dat files across the processes)
     assert len(list(season.glob("*.needle.dat"))) == 4
-    # BOTH processes finalized the union of both pair shards, identically
-    r0 = json.loads((season / "RESULTS_0.json").read_text())
-    r1 = json.loads((season / "RESULTS_1.json").read_text())
-    assert r0 == r1
-    assert len(r0) == 4
-    assert any(r is not None for r in r0)
+    # ALL processes finalized the union of the pair shards, identically
+    rs = [
+        json.loads((season / f"RESULTS_{pid}.json").read_text())
+        for pid in range(nproc)
+    ]
+    assert all(r == rs[0] for r in rs[1:])
+    assert len(rs[0]) == 4
+    assert any(r is not None for r in rs[0])
     # skip files written once, by the coordinator only
     assert len(list(season.glob("*.needle.skip.json"))) >= 1

@@ -89,3 +89,25 @@ def test_public_surface_exports():
     assert callable(needle.util.format_time)
     assert callable(needle.util.find_video_files)
     assert callable(needle.util.compute_header_md5sum)
+
+
+def test_numpy_engine_threaded_pairs_match_serial(tmp_path):
+    """The CPU-fallback engine parallelizes the pair loop like the
+    reference's rayon par_iter (comparator.rs:549-564); results must be
+    identical to the serial (--no-threading) path."""
+    make_synthetic_season(
+        tmp_path, num_episodes=4, episode_secs=100, opening_secs=25, seed=5
+    )
+    videos = sorted(needle.util.find_video_files([tmp_path]))
+    analyzer = needle.Analyzer.from_files(videos)
+    fhs = analyzer.run(
+        needle.Duration.from_secs_f32(np.float32(0.3)), persist=False
+    )
+    cmp = needle.Comparator.from_files(videos, engine="numpy")
+    kw = dict(display=False, use_skip_files=False, write_skip_files=False)
+    r_thr = cmp.run_with_frame_hashes(fhs, threading=True, **kw)
+    r_ser = cmp.run_with_frame_hashes(fhs, threading=False, **kw)
+    assert [(r.opening, r.ending) for r in r_thr] == [
+        (r.opening, r.ending) for r in r_ser
+    ]
+    assert any(r.opening is not None for r in r_thr)

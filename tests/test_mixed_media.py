@@ -235,6 +235,13 @@ def test_host_placement_downmixes_stereo(tmp_path, rng, monkeypatch):
     downmixed on host (the fused device order is decimate -> downmix, so
     the host integer downmix is bit-identical) — uploads are mono, and
     the resulting hashes exactly match the device placement's."""
+    from needle_tpu import ingest
+
+    if not ingest.native_available():
+        # without the native integer FIR, host_decimate falls back to
+        # scipy (documented ±1 LSB on ~1e-4 samples) and exact equality
+        # doesn't hold (ADVICE r3)
+        pytest.skip("native ingest unavailable")
     rate = 44100
     p = tmp_path / "stereo_host_dm.wav"
     _stereo_wav(p, rng, 30.0, rate)
