@@ -203,16 +203,20 @@ def _kernel_choice() -> str:
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
-def _batch_pallas_bitmask(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
+def _batch_pallas_bitmask(
+    table, vtab, ia_b, ib_b, lm_b, bm_b, threshold, n_pad
+):
     """Pallas-kernel chunk dispatch producing the same packed u8 bitmask
-    as the XLA kernels (episode rows gathered from the device table)."""
+    as the XLA kernels (episode rows gathered from the device table).
+    `bm_b` is the band prefilter's per-(pair, group) row-block bitmask
+    (all-ones = walk everything)."""
     from .pallas_impl import batch_counts_pallas
 
     nv_tab = jnp.sum(vtab, axis=1, dtype=jnp.int32) + 1
     thr = jnp.full(ia_b.shape, threshold, jnp.int32)
     counts = batch_counts_pallas(
         nv_tab[ia_b], nv_tab[ib_b], lm_b, thr, table[ia_b], table[ib_b],
-        n_pad, interpret=jax.default_backend() == "cpu",
+        n_pad, bm_b=bm_b, interpret=jax.default_backend() == "cpu",
     )
     flags = (counts > 0).reshape(counts.shape[0], -1, 8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
@@ -531,17 +535,37 @@ class JaxSearchEngine:
             )
             pair_lm[p_idx] = min(lm, np.iinfo(np.int32).max)
 
-        # Exact MXU pair prefilter: provably-runless pairs skip the walk
-        # entirely (see prefilter.py for the bound). Auto-gated to large
-        # libraries; results for skipped pairs stay [].
+        # Exact MXU pair prefilter. For the Pallas kernel the band variant
+        # additionally returns per-(pair, group) row-block bitmasks that
+        # localize the walk to the diagonal bands where a qualifying run
+        # can live (VERDICT r3 next #3) — dense same-show pairs then walk
+        # only the run's neighborhood instead of every (row, diagonal)
+        # cell. Other kernels keep the pair-level skip (with its dense
+        # probe). Results for skipped pairs stay [].
         from ..tracing import metrics as _pf_metrics
-        from .prefilter import prefilter_pairs
+        from .prefilter import prefilter_band_masks, prefilter_pairs
 
+        band_masks = None
+        n_groups = 0
         with span("search.prefilter", work=len(work)):
-            work, n_skipped, _pf_w = prefilter_pairs(
-                table_d, vtab_d, work, ep_slot,
-                lambda p: pair_lm[p], threshold, n_pad,
-            )
+            if kernel == "pallas":
+                from .pallas_impl import (
+                    _resolve_g_tiles,
+                    full_block_mask,
+                    n_groups_for,
+                )
+
+                g_tiles = _resolve_g_tiles()
+                n_groups = n_groups_for(n_pad, g_tiles)
+                work, band_masks, n_skipped, _pf_w = prefilter_band_masks(
+                    table_d, vtab_d, work, ep_slot,
+                    lambda p: pair_lm[p], threshold, n_pad, g_tiles,
+                )
+            else:
+                work, n_skipped, _pf_w = prefilter_pairs(
+                    table_d, vtab_d, work, ep_slot,
+                    lambda p: pair_lm[p], threshold, n_pad,
+                )
         if n_skipped:
             _pf_metrics.record("search.prefilter_skipped", float(n_skipped))
 
@@ -557,21 +581,35 @@ class JaxSearchEngine:
                 ib_b[r] = ep_slot[b]
                 lm_b[r] = pair_lm[p_idx]
 
-            dispatch = (
-                _batch_pallas_bitmask if kernel == "pallas"
-                else _batch_tiles_indexed
-            )
-            out = dispatch(
-                table_d,
-                vtab_d,
-                shard_batch(ia_b)[0],
-                shard_batch(ib_b)[0],
-                # padding lanes get an unreachable min-run so mesh padding
-                # cannot create expensive self-match work
-                shard_batch(lm_b, fill_value=np.iinfo(np.int32).max)[0],
-                threshold,
-                n_pad,
-            )
+            if kernel == "pallas":
+                # padding lanes get mask 0: they walk NOTHING
+                bm_b = np.zeros((chunk, n_groups), np.int32)
+                if band_masks is None:
+                    bm_b[: len(batch)] = full_block_mask(n_pad)
+                else:
+                    bm_b[: len(batch)] = band_masks[c0 : c0 + len(batch)]
+                out = _batch_pallas_bitmask(
+                    table_d,
+                    vtab_d,
+                    shard_batch(ia_b)[0],
+                    shard_batch(ib_b)[0],
+                    shard_batch(lm_b, fill_value=np.iinfo(np.int32).max)[0],
+                    shard_batch(bm_b)[0],
+                    threshold,
+                    n_pad,
+                )
+            else:
+                out = _batch_tiles_indexed(
+                    table_d,
+                    vtab_d,
+                    shard_batch(ia_b)[0],
+                    shard_batch(ib_b)[0],
+                    # padding lanes get an unreachable min-run so mesh
+                    # padding cannot create expensive self-match work
+                    shard_batch(lm_b, fill_value=np.iinfo(np.int32).max)[0],
+                    threshold,
+                    n_pad,
+                )
             launched.append((batch, out))
 
         launch_span.__exit__(None, None, None)

@@ -57,6 +57,7 @@ def _kernel(
     n_pad,  # true (unpadded-to-rows) sequence bucket, bound via partial
     g_tiles,  # diagonal tiles per grid step (8 or 16), bound via partial
     nv_ref, mv_ref, lm_ref, thr_ref,  # scalar prefetch: (chunk,) i32 each
+    bm_ref,  # scalar prefetch: (chunk, n_groups) i32 row-block bitmasks
     src_hbm, dst_hbm,  # ANY: (chunk, n_rows, 512) u32 each (row-aligned)
     counts_ref,  # VMEM out block: (1, n_tiles_pad, D_TILE) i32
     src_sm, dst2d, sem,  # scratch: src in SMEM (dynamic scalar reads)
@@ -133,6 +134,24 @@ def _kernel(
     n_blocks = n_pad // D_TILE + 1
     b_lo = jnp.clip((i_lo + 1) // D_TILE, 0, n_blocks)
     b_hi = jnp.clip((i_hi + 1) // D_TILE + 1, b_lo, n_blocks)
+    # Prefilter row-block bitmask for this (pair, group): bit b set means
+    # row block b may intersect a qualifying run on SOME diagonal of this
+    # group (search/prefilter.py band bounds). Cleared blocks provably
+    # contain no row of any qualifying run, so skipping them is exact
+    # PROVIDED the carry is FLUSHED at the gap (see `flush_blk` below):
+    # a live run with prev_run >= l_min at a gap entry is qualifying and
+    # therefore cannot extend into the gap — it ends exactly there, so
+    # counting it at the flush equals the full walk's accounting; a live
+    # run with prev_run < l_min can never reach l_min (its continuation
+    # would put qualifying-run rows inside the gap), so resetting it
+    # drops only runs the full walk would also have dropped. A run that
+    # starts inside a gap and qualifies is impossible for the same
+    # reason, so re-entering the walk with zeroed carry is exact too.
+    # All-ones masks (the default when the prefilter is off) make this a
+    # no-op beyond the validity bounds above.
+    bm = bm_ref[p, g]
+
+    zero_i = jnp.zeros((g_tiles, D_TILE), jnp.int32)
 
     def blk(b, carry):
         def run_blk(carry):
@@ -176,11 +195,20 @@ def _kernel(
                 0, D_TILE // 8, rows8, carry
             )
 
+        def flush_blk(carry):
+            # close any live qualifying run at the gap boundary (exactness
+            # argument above); identical to the final-edge accounting
+            prev_S, prev_run, cand = carry
+            cand = cand + jnp.where(
+                (prev_S == 1) & (prev_run >= l_min), 1, 0
+            )
+            return zero_i, zero_i, cand
+
+        allowed = ((bm >> b) & 1) == 1
         return jax.lax.cond(
-            (b >= b_lo) & (b < b_hi), run_blk, lambda c: c, carry
+            (b >= b_lo) & (b < b_hi) & allowed, run_blk, flush_blk, carry
         )
 
-    zero_i = jnp.zeros((g_tiles, D_TILE), jnp.int32)
     prev_S, prev_run, cand = jax.lax.fori_loop(
         0, n_blocks, blk, (zero_i, zero_i, zero_i)
     )
@@ -229,15 +257,43 @@ def _resolve_g_tiles() -> int:
     return g_tiles
 
 
+def n_groups_for(n_pad: int, g_tiles: int = None) -> int:
+    """Grid groups the kernel walks for this bucket (the second grid axis);
+    also the width of the per-pair row-block bitmask array."""
+    g_tiles = g_tiles or _resolve_g_tiles()
+    n_tiles = -(-(2 * n_pad - 1) // D_TILE)
+    return -(-n_tiles // g_tiles)
+
+
+def full_block_mask(n_pad: int) -> np.int32:
+    """Bitmask walking every row block (prefilter disabled / pass-through).
+    For buckets too long for a 31-bit mask, -1 keeps every block (i32
+    arithmetic shift preserves the sign bit, so (bm >> b) & 1 == 1 for
+    all b)."""
+    n_blocks = n_pad // D_TILE + 1
+    if n_blocks > 31:
+        return np.int32(-1)
+    return np.int32((np.int64(1) << n_blocks) - 1)
+
+
 def batch_counts_pallas(
-    nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad, interpret=False
+    nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad, bm_b=None, interpret=False
 ):
     """(chunk, n_pad) src/dst hash rows + per-pair scalars -> per-diagonal
     candidate counts (chunk, n_tiles*D_TILE) i32. Diagonal index d maps to
-    offset d - (n_pad - 1)."""
+    offset d - (n_pad - 1). `bm_b` ((chunk, n_groups) i32, optional) is a
+    per-(pair, group) row-block bitmask from the band prefilter; cleared
+    blocks are skipped exactly (carry flushed at gaps)."""
+    g_tiles = _resolve_g_tiles()
+    if bm_b is None:
+        bm_b = np.full(
+            (np.shape(nv_b)[0], n_groups_for(n_pad, g_tiles)),
+            full_block_mask(n_pad),
+            np.int32,
+        )
     return _batch_counts_pallas_jit(
-        nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad,
-        _resolve_g_tiles(), interpret,
+        nv_b, mv_b, lm_b, thr_b, bm_b, src_b, dst_b, n_pad,
+        g_tiles, interpret,
     )
 
 
@@ -245,7 +301,8 @@ def batch_counts_pallas(
     jax.jit, static_argnames=("n_pad", "g_tiles", "interpret")
 )
 def _batch_counts_pallas_jit(
-    nv_b, mv_b, lm_b, thr_b, src_b, dst_b, n_pad, g_tiles, interpret=False
+    nv_b, mv_b, lm_b, thr_b, bm_b, src_b, dst_b, n_pad, g_tiles,
+    interpret=False,
 ):
     assert n_pad % D_TILE == 0, "pallas search requires n_pad % 512 == 0"
     chunk = src_b.shape[0]
@@ -267,7 +324,7 @@ def _batch_counts_pallas_jit(
     ext_rows = left_rows + n_rows + n_tiles_pad + 33
     ext_rows = -(-ext_rows // 16) * 16
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(chunk, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -290,5 +347,5 @@ def _batch_counts_pallas_jit(
             (chunk, n_tiles_pad, D_TILE), jnp.int32
         ),
         interpret=interpret,
-    )(nv_b, mv_b, lm_b, thr_b, src_rows, dst_rows)
+    )(nv_b, mv_b, lm_b, thr_b, bm_b, src_rows, dst_rows)
     return out[:, :n_tiles, :].reshape(chunk, n_tiles * D_TILE)

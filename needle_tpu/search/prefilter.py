@@ -135,6 +135,108 @@ def keep_bound(w: int, threshold: int) -> float:
     return w * (32 - 2 * threshold) - 0.5
 
 
+@functools.partial(
+    jax.jit, static_argnames=("w", "threshold", "n_pad", "gd", "n_groups")
+)
+def _chunk_band_qual(exp_tab, ia_b, ib_b, w, threshold, n_pad, gd, n_groups):
+    """Band-resolved version of `_chunk_max_corr`: instead of one global
+    max per pair, return per (pair, src block b, diagonal group g) whether
+    ANY qualifying cell C[b, t] >= bound exists with t - b*w in group g's
+    diagonal span (g = (d + n_pad - 1) // gd, the Pallas kernel's group
+    index). Same matmuls, plus a cheap masked any-reduction per group."""
+    S = exp_tab[ia_b]  # (chunk, n, 32)
+    T = exp_tab[ib_b]
+    chunk = S.shape[0]
+    nb = n_pad // w
+    F = S.reshape(chunk, nb, w * 32)
+    Tpad = jnp.pad(T, ((0, 0), (0, w), (0, 0)))
+    bound = keep_bound(w, threshold)
+    bq = jnp.arange(nb, dtype=jnp.int32)
+    dq = bq[None, :] - bq[:, None]  # (b, q): q - b
+
+    def step(acc, r):
+        Tr = jax.lax.dynamic_slice_in_dim(Tpad, r, n_pad, axis=1)
+        G = Tr.reshape(chunk, nb, w * 32)
+        C = jnp.einsum(
+            "cbf,cqf->cbq", F, G, preferred_element_type=jnp.float32
+        )
+        Q = C >= bound  # (chunk, nb, nb); cell (b, q) is t = w*q + r
+        g_map = (w * dq + r + (n_pad - 1)) // gd  # diagonal d = t - b*w
+        per_g = [
+            jnp.any(Q & (g_map == g)[None], axis=2) for g in range(n_groups)
+        ]
+        return jnp.logical_or(acc, jnp.stack(per_g, axis=-1)), None
+
+    acc0 = jnp.zeros((chunk, nb, n_groups), bool)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(w))
+    return acc
+
+
+def prefilter_band_masks(
+    table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad, g_tiles
+):
+    """Band-level prefilter for the Pallas kernel (VERDICT r3 next #3).
+
+    Returns (kept_work, masks, n_skipped, w): `masks` is an
+    (len(kept_work), n_groups) i32 array of per-(pair, group) row-block
+    bitmasks for `pallas_impl.batch_counts_pallas`, or None when the
+    prefilter doesn't apply (mode off / threshold too loose / bucket too
+    long for a 31-bit mask) — callers then walk everything.
+
+    Soundness (on top of the module-docstring block bound): a qualifying
+    run has length >= l_min >= 2W - 1, so EVERY aligned W-block fully
+    inside it qualifies; those blocks are consecutive, the first starts
+    <= r0 + W - 1 and the last ends > r1 - W, so the union of
+    [bW - W + 1, bW + 2W) over qualifying cells covers the run's entire
+    row extent [r0, r1). Marking the kernel row blocks (512 rows each,
+    block B covers i in [B*512 - 1, (B+1)*512 - 1)) that intersect that
+    margin interval therefore marks every block containing ANY row of ANY
+    qualifying run of the cell's diagonal group — cleared blocks are
+    provably run-free and the kernel may skip them (with a carry flush;
+    see pallas_impl._kernel). Pairs whose mask is all-zero have no
+    qualifying run anywhere and are dropped entirely (subsumes the
+    pair-level skip). Unlike `prefilter_pairs`, there is no dense-library
+    probe: dense same-show pairs are exactly where the band bounds pay,
+    localizing the walk to the run's diagonal band instead of every
+    (row, diagonal) cell."""
+    if not work:
+        return work, None, 0, None
+    min_lm = min(lm_of(p) for p, _, _ in work)
+    w = prefilter_plan(len(work), min_lm, threshold, n_pad)
+    n_blocks = n_pad // 512 + 1
+    if w is None or n_blocks > 31:
+        return work, None, 0, None
+    gd = 512 * g_tiles
+    n_tiles = -(-(2 * n_pad - 1) // 512)
+    n_groups = -(-n_tiles // g_tiles)
+    exp = expand_pm1(table_d, vtab_d, n_pad)
+    chunk = 256
+    nb = n_pad // w
+    b_arr = np.arange(nb, dtype=np.int64)
+    # kernel row blocks intersected by [bW - W + 1, bW + 2W) (<= 2 blocks:
+    # 3W - 1 <= 191 < 512)
+    blo = np.clip((b_arr * w - w + 2) // 512, 0, n_blocks - 1)
+    bhi = np.clip((b_arr * w + 2 * w) // 512, 0, n_blocks - 1)
+    bits_b = ((np.int64(1) << blo) | (np.int64(1) << bhi)).astype(np.int32)
+    masks = np.zeros((len(work), n_groups), np.int32)
+    for c0 in range(0, len(work), chunk):
+        batch = work[c0 : c0 + chunk]
+        ia = np.zeros((chunk,), np.int32)
+        ib = np.zeros((chunk,), np.int32)
+        for r, (_, a, b) in enumerate(batch):
+            ia[r] = ep_slot[a]
+            ib[r] = ep_slot[b]
+        qual = np.asarray(
+            _chunk_band_qual(exp, ia, ib, w, threshold, n_pad, gd, n_groups)
+        )[: len(batch)]
+        masks[c0 : c0 + len(batch)] = np.bitwise_or.reduce(
+            np.where(qual, bits_b[None, :, None], np.int32(0)), axis=1
+        )
+    keep = masks.any(axis=1)
+    kept = [wk for wk, k in zip(work, keep) if k]
+    return kept, masks[keep], int(len(work) - len(kept)), w
+
+
 def prefilter_pairs(table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad):
     """Compact `work` [(p_idx, a, b), ...] to the pairs that can contain a
     qualifying run. Returns (kept_work, n_skipped, w_used).

@@ -235,3 +235,131 @@ def test_adaptive_probe_passes_dense_library_through(rng, monkeypatch):
         table, vtab, work, slot, lambda _: ts_lm, 10, n_pad
     )
     assert w == 8 and n_skip > len(work) * 0.9
+
+
+# -- band-level masks (VERDICT r3 next #3) ---------------------------------
+
+
+def _mk_pair(rng, n_pad, run_at, run_len):
+    """src/dst with one planted shared run on a known diagonal."""
+    shared = rng.integers(0, 2**32, size=run_len, dtype=np.uint32)
+    src = rng.integers(0, 2**32, size=n_pad, dtype=np.uint32)
+    dst = rng.integers(0, 2**32, size=n_pad, dtype=np.uint32)
+    i0, j0 = run_at
+    src[i0 : i0 + run_len] = shared
+    dst[j0 : j0 + run_len] = shared
+    return src, dst
+
+
+def _band_masks_for(src, dst, nv, mv, lm, thr, n_pad, g_tiles):
+    table = np.stack([src, dst])
+    vtab = np.zeros((2, n_pad), bool)
+    vtab[0, 1:nv] = True
+    vtab[1, 1:mv] = True
+    work = [(0, 0, 1)]
+    kept, masks, n_skipped, w = pf.prefilter_band_masks(
+        jnp_asarray(table), jnp_asarray(vtab), work, {0: 0, 1: 1},
+        lambda p: lm, thr, n_pad, g_tiles,
+    )
+    return table, vtab, kept, masks, n_skipped, w
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+@pytest.mark.parametrize("run_at", [(100, 1400), (1400, 100), (700, 730)])
+def test_band_masked_counts_equal_unmasked(rng, monkeypatch, run_at):
+    """The kernel with band masks must produce EXACTLY the counts of the
+    full walk — the masks only clear provably run-free row blocks."""
+    from needle_tpu.search.pallas_impl import (
+        batch_counts_pallas,
+        full_block_mask,
+        n_groups_for,
+    )
+
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    n_pad, lm, thr = 2560, 40, 8
+    src, dst, = _mk_pair(rng, n_pad, run_at, 60)
+    nv = mv = n_pad
+    table, vtab, kept, masks, n_skipped, w = _band_masks_for(
+        src, dst, nv, mv, lm, thr, n_pad, 8
+    )
+    assert kept == [(0, 0, 1)] and n_skipped == 0
+    n_groups = n_groups_for(n_pad, 8)
+    assert masks.shape == (1, n_groups)
+    # the mask must actually prune: strictly fewer bits than the full walk
+    full = int(full_block_mask(n_pad))
+    assert bin(int(masks[0, 0]) & full).count("1") + bin(
+        int(masks[0, 1]) & full
+    ).count("1") < 2 * bin(full).count("1")
+
+    args = (
+        np.array([nv], np.int32), np.array([mv], np.int32),
+        np.array([lm], np.int32), np.array([thr], np.int32),
+        src[None], dst[None], n_pad,
+    )
+    got = np.asarray(
+        batch_counts_pallas(*args, bm_b=masks, interpret=True)
+    )
+    want = np.asarray(batch_counts_pallas(*args, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() >= 1  # the planted run is found
+
+
+def test_band_mask_zero_pair_is_dropped(rng, monkeypatch):
+    """A pair with no qualifying run anywhere gets an all-zero mask and is
+    dropped from the work list (subsumes the pair-level skip)."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    n_pad, lm, thr = 2560, 40, 8
+    src = rng.integers(0, 2**32, size=n_pad, dtype=np.uint32)
+    dst = rng.integers(0, 2**32, size=n_pad, dtype=np.uint32)
+    table, vtab, kept, masks, n_skipped, w = _band_masks_for(
+        src, dst, n_pad, n_pad, lm, thr, n_pad, 8
+    )
+    assert kept == [] and n_skipped == 1 and len(masks) == 0
+
+
+def test_engine_band_prefilter_matches_numpy(rng, monkeypatch):
+    """Full engine with pallas kernel + band prefilter FORCED on must match
+    the reference-exact numpy engine on a mixed library."""
+    from needle_tpu import Comparator
+    from needle_tpu.data import FrameHashes
+    from needle_tpu.duration import Duration
+    from needle_tpu.search import jax_impl as S
+
+    monkeypatch.setattr(S, "_KERNEL", "pallas")
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+
+    step = 247619033
+    shared_a = rng.integers(0, 2**32, size=70, dtype=np.uint32)
+    shared_b = rng.integers(0, 2**32, size=80, dtype=np.uint32)
+    fhs = []
+    for e in range(6):
+        h = rng.integers(0, 2**32, size=320 + 30 * e, dtype=np.uint32)
+        # two shows: episodes 0-2 share A, 3-5 share B (cross-show pairs
+        # should be mask-zero skipped)
+        sh = shared_a if e < 3 else shared_b
+        h[20 + 13 * e : 20 + 13 * e + len(sh)] = sh
+        ts = (2600090703 + np.arange(len(h)) * step).astype(np.int64)
+        fhs.append(FrameHashes(h, ts, np.zeros(0, np.uint32),
+                               np.zeros(0, np.int64),
+                               Duration.from_millis(300), f"{e:032x}"))
+
+    def run(engine):
+        cmp = Comparator.from_files(
+            [f"q{k}.mkv" for k in range(6)], engine=engine
+        ).with_min_opening_duration(Duration.from_secs(12))
+        res = cmp.run_with_frame_hashes(
+            fhs, display=False, use_skip_files=False, write_skip_files=False
+        )
+        return [None if r.opening is None else
+                (r.opening[0].total_nanos(), r.opening[1].total_nanos())
+                for r in res]
+
+    got = run("jax")
+    expect = run("numpy")
+    assert got == expect
+    assert any(g is not None for g in got)
