@@ -341,6 +341,7 @@ _HEADLINE_KEYS = (
     "h2d_mb_s",
     "bytes_uploaded_mb",
     "upload_floor_s",
+    "decode_s",
     "minutes_audio_per_sec_analyze",
     "pairs_per_sec_search",
     "pairs_per_sec",
@@ -991,6 +992,16 @@ def main():
                 upload_floor_s=(
                     round(best_bytes / 1e6 / best_h2d, 2)
                     if best_bytes and best_h2d
+                    else None
+                ),
+                # host-CPU floor: serial media decode on this 1-core host
+                # (r4: a CPU-throttled era showed decode 11.5-14.6 s vs
+                # ~5 s on fast eras — the other half of the floor identity
+                # value ~ max(decode, bytes/h2d) + tails)
+                decode_s=(
+                    round(trial_stages[best_i]["analyze.decode"], 2)
+                    if best_i < len(trial_stages)
+                    and "analyze.decode" in trial_stages[best_i]
                     else None
                 ),
                 decimation_placement=placements[
