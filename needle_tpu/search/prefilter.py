@@ -243,7 +243,9 @@ def prefilter_band_masks(
     n_tiles = -(-(2 * n_pad - 1) // 512)
     n_groups = -(-n_tiles // g_tiles)
     exp = expand_pm1(table_d, vtab_d, n_pad)
-    chunk = 256  # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB
+    # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB; env knob for
+    # dispatch-amortization probes
+    chunk = int(os.environ.get("NEEDLE_TPU_PREFILTER_CHUNK", "256"))
     outs = []
     for c0 in range(0, len(work), chunk):
         batch = work[c0 : c0 + chunk]
