@@ -372,10 +372,13 @@ def emit_result(base, flush=False):
         headline["error"] = str(err)[:297] + "..."
     line = json.dumps(headline)
     if len(line) > HEADLINE_BUDGET_B:
-        # Drop optional fields (last first) until it fits; the four core
-        # driver fields are never dropped.
+        # Drop mid-value metrics first until it fits. The driver fields
+        # AND the diagnostic flags ("partial", "error") are never dropped
+        # — a transport-stall artifact must stay distinguishable from a
+        # clean result even when over budget.
+        keep = ("metric", "value", "unit", "vs_baseline", "partial", "error")
         for k in reversed(list(headline)):
-            if k in ("metric", "value", "unit", "vs_baseline"):
+            if k in keep:
                 continue
             headline.pop(k)
             line = json.dumps(headline)

@@ -71,14 +71,14 @@ class NumpySearchEngine:
         # (comparator.rs:549-564). numpy releases the GIL inside the DP's
         # vectorized ops, so a thread pool gets real CPU parallelism; the
         # --no-threading kill-switch falls back to the serial loop.
-        if not threading or len(pairs) < 2:
+        workers = min(len(pairs), os.cpu_count() or 1)
+        if not threading or len(pairs) < 2 or workers < 2:
             return [
                 self.search_pair(comparator, frame_hashes[i], frame_hashes[j])
                 for (i, j) in pairs
             ]
         from multiprocessing.pool import ThreadPool
 
-        workers = min(len(pairs), os.cpu_count() or 1)
         with ThreadPool(workers) as pool:
             return pool.starmap(
                 lambda i, j: self.search_pair(

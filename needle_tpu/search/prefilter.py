@@ -70,6 +70,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the kernel's grid geometry: masks MUST match it bit-for-bit, so derive
+# every block/group constant from pallas_impl instead of restating it
+from .pallas_impl import D_TILE, n_groups_for
+
 
 def prefilter_plan(n_work: int, min_lm: int, threshold: int, n_pad: int):
     """Decide whether to prefilter and with what block width W.
@@ -184,11 +188,11 @@ def _chunk_band_masks(
     acc0 = jnp.zeros((chunk, nb, n_groups), bool)
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(w))
     # Static membership (trace-time numpy): kernel row blocks intersected
-    # by [bW - W + 1, bW + 2W) (<= 2 blocks: 3W - 1 <= 191 < 512; block B
-    # covers rows [B*512 - 1, (B+1)*512 - 1), see pallas_impl).
+    # by [bW - W + 1, bW + 2W) (<= 2 blocks: 3W - 1 <= 191 < D_TILE; block
+    # B covers rows [B*D_TILE - 1, (B+1)*D_TILE - 1), see pallas_impl).
     b_arr = np.arange(nb, dtype=np.int64)
-    blo = np.clip((b_arr * w - w + 2) // 512, 0, n_blocks - 1)
-    bhi = np.clip((b_arr * w + 2 * w) // 512, 0, n_blocks - 1)
+    blo = np.clip((b_arr * w - w + 2) // D_TILE, 0, n_blocks - 1)
+    bhi = np.clip((b_arr * w + 2 * w) // D_TILE, 0, n_blocks - 1)
     member = np.zeros((nb, n_blocks), np.int32)
     member[b_arr, blo] = 1
     member[b_arr, bhi] = 1
@@ -236,12 +240,14 @@ def prefilter_band_masks(
         return work, None, 0, None
     min_lm = min(lm_of(p) for p, _, _ in work)
     w = prefilter_plan(len(work), min_lm, threshold, n_pad)
-    n_blocks = n_pad // 512 + 1
+    n_blocks = n_pad // D_TILE + 1
     if w is None or n_blocks > 31:
         return work, None, 0, None
-    gd = 512 * g_tiles
-    n_tiles = -(-(2 * n_pad - 1) // 512)
-    n_groups = -(-n_tiles // g_tiles)
+    # membership marks exactly 2 blocks per cell; needs the margin interval
+    # (length 3W - 1) to span <= 2 row blocks
+    assert 3 * w - 1 <= D_TILE, (w, D_TILE)
+    gd = D_TILE * g_tiles
+    n_groups = n_groups_for(n_pad, g_tiles)
     exp = expand_pm1(table_d, vtab_d, n_pad)
     # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB; env knob for
     # dispatch-amortization probes

@@ -105,11 +105,13 @@ _AUDIO_ONLY_SUFFIXES = (".wav", ".pcm", ".raw")
 
 
 def allow_audio_only_files() -> bool:
-    return os.environ.get("NEEDLE_TPU_ALLOW_AUDIO", "0") not in (
-        "0",
-        "",
-        "off",
-        "false",
+    # positive opt-in only: any other spelling (including "False", "OFF",
+    # "no") keeps strict reference semantics
+    return os.environ.get("NEEDLE_TPU_ALLOW_AUDIO", "0").strip().lower() in (
+        "1",
+        "true",
+        "on",
+        "yes",
     )
 
 

@@ -68,8 +68,21 @@ def detect_ts_mode(fh: FrameHashes) -> dict:
     """
     from needle_tpu.analyzer import chromaprint_delay_item
 
-    item_ms = 123  # identical in both modes (truncated as_millis)
-    step_by = max(1, int(fh.hash_duration().as_millis()) // item_ms)
+    # the analyzer's own stride constant (truncated as_millis is identical
+    # in both modes, so the active env mode doesn't matter here)
+    item_ms = int(chromaprint_delay_item()[1].as_millis())
+    step_by = int(fh.hash_duration().as_millis()) // item_ms
+    n_hashes = len(fh.opening_ts_nanos) + len(fh.ending_ts_nanos)
+    if step_by == 0:
+        # the reference panics on Iterator::step_by(0) (analyzer.rs), so no
+        # genuine golden can carry a hash_duration shorter than the item
+        return {
+            "mode": None,
+            "step_by": 0,
+            "deviation_ns": {},
+            "n_hashes": int(n_hashes),
+            "error": "hash_duration shorter than chromaprint item duration",
+        }
     out = {"mode": None, "step_by": step_by, "deviation_ns": {}}
     windows = [
         ("opening", fh.opening_ts_nanos, True),
@@ -93,14 +106,11 @@ def detect_ts_mode(fh: FrameHashes) -> dict:
         verdicts[mode] = {"max_abs_deviation_ns": worst, "hashes": usable}
         out["deviation_ns"][mode] = worst
     exact = [m for m, v in verdicts.items() if v["max_abs_deviation_ns"] == 0]
-    n_hashes = len(fh.opening_ts_nanos) + len(fh.ending_ts_nanos)
     if len(exact) == 1:
         out["mode"] = exact[0]
     elif len(exact) == 2:
         out["mode"] = "ambiguous"  # only possible for very short windows
     out["n_hashes"] = int(n_hashes)
-    # sanity: our constants say the modes diverge ~0.81 ms/hash
-    _ = chromaprint_delay_item()
     return out
 
 
@@ -142,11 +152,16 @@ def check(dat_path: Path, video_path: Path | None) -> dict:
 
     # 4./5. source-video checks
     if video_path is not None:
+        # a missing/corrupt video must still produce the machine-checkable
+        # report (only the .dat parse above is allowed to short-circuit)
         from needle_tpu.analyzer import Analyzer
         from needle_tpu.util import compute_header_md5sum
 
-        md5 = compute_header_md5sum(video_path)
-        report["md5"] = {"ok": md5 == fh.md5(), "computed": md5}
+        try:
+            md5 = compute_header_md5sum(video_path)
+            report["md5"] = {"ok": md5 == fh.md5(), "computed": md5}
+        except Exception as e:
+            report["md5"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
 
         mode = report["ts_mode"]["mode"]
         run_mode = mode if mode in ("samples", "ms") else "samples"
@@ -157,26 +172,34 @@ def check(dat_path: Path, video_path: Path | None) -> dict:
                 [video_path], force=True
             ).with_include_endings(len(fh.ending_hashes) > 0)
             ours = analyzer.run(fh.hash_duration(), persist=False)[0]
+        except Exception as e:
+            ours = None
+            report["hashes"] = {
+                "ok": False,
+                "analyzed_under_ts_mode": run_mode,
+                "error": f"{type(e).__name__}: {e}",
+            }
         finally:
             if prev is None:
                 os.environ.pop("NEEDLE_TPU_TS_MODE", None)
             else:
                 os.environ["NEEDLE_TPU_TS_MODE"] = prev
-        report["hashes"] = {
-            "ok": bool(
-                np.array_equal(ours.opening_hashes, fh.opening_hashes)
-                and np.array_equal(ours.ending_hashes, fh.ending_hashes)
-                and np.array_equal(ours.opening_ts_nanos, fh.opening_ts_nanos)
-                and np.array_equal(ours.ending_ts_nanos, fh.ending_ts_nanos)
-            ),
-            "analyzed_under_ts_mode": run_mode,
-            "opening_equal": bool(
-                np.array_equal(ours.opening_hashes, fh.opening_hashes)
-            ),
-            "ending_equal": bool(
-                np.array_equal(ours.ending_hashes, fh.ending_hashes)
-            ),
-        }
+        if ours is not None:
+            report["hashes"] = {
+                "ok": bool(
+                    np.array_equal(ours.opening_hashes, fh.opening_hashes)
+                    and np.array_equal(ours.ending_hashes, fh.ending_hashes)
+                    and np.array_equal(ours.opening_ts_nanos, fh.opening_ts_nanos)
+                    and np.array_equal(ours.ending_ts_nanos, fh.ending_ts_nanos)
+                ),
+                "analyzed_under_ts_mode": run_mode,
+                "opening_equal": bool(
+                    np.array_equal(ours.opening_hashes, fh.opening_hashes)
+                ),
+                "ending_equal": bool(
+                    np.array_equal(ours.ending_hashes, fh.ending_hashes)
+                ),
+            }
 
     checks = [v["ok"] for k, v in report.items() if isinstance(v, dict) and "ok" in v]
     ts_ok = report["ts_mode"]["mode"] in ("samples", "ms", "ambiguous")
@@ -193,8 +216,9 @@ def main(argv=None) -> int:
     video = Path(argv[1]) if len(argv) == 2 else None
     report = check(dat, video)
     print(json.dumps(report, indent=2))
+    ts = report.get("ts_mode") or {}
     print(json.dumps({"golden_check_ok": report["ok"], "file": str(dat),
-                      "ts_mode": report["ts_mode"]["mode"]}))
+                      "ts_mode": ts.get("mode")}))
     return 0 if report["ok"] else 1
 
 
