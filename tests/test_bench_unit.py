@@ -437,6 +437,10 @@ def test_emit_result_headline_never_exceeds_budget(capsys):
     assert len(lines[-1].encode()) <= bench.HEADLINE_BUDGET_B
     for k in ("metric", "value", "unit", "vs_baseline"):
         assert k in head
+    # the diagnostic flags must survive trimming: a transport-stall
+    # artifact stays distinguishable from a clean result
+    assert head["partial"] is True
+    assert head["error"].startswith("transport stalled:")
 
 
 def test_emit_result_no_detail_when_compact(capsys):
