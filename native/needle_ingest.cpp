@@ -620,29 +620,33 @@ int ni_decimate2_hb(const int16_t *in, int64_t n_samples, int channels,
         int32_t v = (int32_t)((acc + 8192) >> 14);
         out[k * channels + c] = (int16_t)std::min(32767, std::max(-32768, v));
     };
-    // Interior fast path: deinterleave even/odd samples per channel so
-    // every tap access is unit-stride. The natural stride-2 form defeats
-    // auto-vectorization (gathers), and this FIR was measured as the
-    // analyze bottleneck on the 1-core host (~11 s CPU per 28-episode
-    // season at r3, dominating a 14 s analyze wall). In the deinterleaved
-    // view y[k] = c0*even[k] + sum_m q[m]*(odd[k-m-1] + odd[k+m]) — every
-    // inner loop below is a unit-stride int32 MAC the compiler vectorizes.
+    // Interior fast path: deinterleave the ODD samples per channel so the
+    // 28-times-read tap accesses are unit-stride. The natural stride-2
+    // form defeats auto-vectorization (gathers), and this FIR was measured
+    // as the analyze bottleneck on the 1-core host (~11 s CPU per
+    // 28-episode season at r3, dominating a 14 s analyze wall). In the
+    // deinterleaved view y[k] = c0*even[k] + sum_m q[m]*(odd[k-m-1] +
+    // odd[k+m]) — every inner loop below is a unit-stride int32 MAC the
+    // compiler vectorizes. The EVEN samples are read exactly once (the
+    // acc-init pass), so for mono input they are read strided in place
+    // instead of copied: dropping that copy pass measured +31%
+    // (314 -> 410 Msamp/s interleaved A/B, g++ 12 -march=native AVX-512).
     // Index bounds: k-m-1 >= k_lo - n_odd = 0 and k+m <= k_hi-1+n_odd-1
     // < frames/2, so no branches are needed in the interior.
     const int64_t half = frames / 2;
+    const bool mono = channels == 1;
     int16_t *deint = nullptr;
     if (k_hi > k_lo)
         deint = (int16_t *)malloc(
-            (size_t)std::max<int64_t>(half, 1) * 2 * sizeof(int16_t));
+            (size_t)std::max<int64_t>(half, 1) * (mono ? 1 : 2) *
+            sizeof(int16_t));
     for (int c = 0; c < channels; c++) {
         for (int64_t k = 0; k < k_lo; k++) edge(k, c);
         if (k_hi > k_lo && deint) {
-            int16_t *ev = deint, *od = deint + half;
-            if (channels == 1) {
-                for (int64_t t = 0; t < half; t++) {
-                    ev[t] = in[2 * t];
-                    od[t] = in[2 * t + 1];
-                }
+            int16_t *ev = mono ? nullptr : deint;
+            int16_t *od = mono ? deint : deint + half;
+            if (mono) {
+                for (int64_t t = 0; t < half; t++) od[t] = in[2 * t + 1];
             } else {
                 for (int64_t t = 0; t < half; t++) {
                     ev[t] = in[(2 * t) * channels + c];
@@ -653,9 +657,15 @@ int ni_decimate2_hb(const int16_t *in, int64_t n_samples, int channels,
             int32_t acc[BLK];
             for (int64_t k0 = k_lo; k0 < k_hi; k0 += BLK) {
                 const int64_t n = std::min<int64_t>(BLK, k_hi - k0);
-                const int16_t *e0 = ev + k0;
-                for (int64_t i = 0; i < n; i++)
-                    acc[i] = center_q14 * (int32_t)e0[i];
+                if (mono) {
+                    const int16_t *e0 = in + 2 * k0;
+                    for (int64_t i = 0; i < n; i++)
+                        acc[i] = center_q14 * (int32_t)e0[2 * i];
+                } else {
+                    const int16_t *e0 = ev + k0;
+                    for (int64_t i = 0; i < n; i++)
+                        acc[i] = center_q14 * (int32_t)e0[i];
+                }
                 for (int m = 0; m < n_odd; m++) {
                     const int32_t q = odd_taps[m];
                     const int16_t *pa = od + k0 - m - 1;

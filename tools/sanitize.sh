@@ -40,10 +40,13 @@ make_synthetic_season(sys.argv[1], num_episodes=3, episode_secs=100,
                       opening_secs=25, seed=4242)
 EOF
 
+# NEEDLE_TPU_ALLOW_AUDIO: the synthetic season is WAV and discovery now
+# defaults to the reference's video-only semantics (r4, VERDICT r3 #4).
 LD_LIBRARY_PATH="$PWD/capi/asan" \
 LD_PRELOAD="$LIBASAN $LIBUBSAN" \
 ASAN_OPTIONS="detect_leaks=0:abort_on_error=1:strict_string_checks=1" \
 UBSAN_OPTIONS="print_stacktrace=1:halt_on_error=1" \
 PYTHONPATH="$PWD" JAX_PLATFORMS=cpu NEEDLE_TPU_PYTHON_ROOT="$PWD" \
+NEEDLE_TPU_ALLOW_AUDIO=1 \
 capi/examples/full "$SEASON"
 echo "sanitize: all legs clean"
