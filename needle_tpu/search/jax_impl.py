@@ -569,6 +569,17 @@ class JaxSearchEngine:
         if n_skipped:
             _pf_metrics.record("search.prefilter_skipped", float(n_skipped))
 
+        # Struct-of-arrays view of the (post-prefilter) work list: the
+        # launch fill, the bit-unpack, and the extract batch build are all
+        # array gathers over these instead of per-item Python loops (the
+        # tuple-at-a-time versions cost ~9 s unpack + a comparable share of
+        # extract at 500k dense pairs).
+        n_work = len(work)
+        w_pidx = np.fromiter((p for p, _, _ in work), np.int64, n_work)
+        w_sa = np.fromiter((ep_slot[a] for _, a, _ in work), np.int32, n_work)
+        w_sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, n_work)
+        w_lm = np.fromiter((pair_lm[p] for p, _, _ in work), np.int32, n_work)
+
         for c0 in range(0, len(work), chunk):
             batch = work[c0 : c0 + chunk]
             # Padding lanes point at episode slot 0 with an unreachable
@@ -576,10 +587,9 @@ class JaxSearchEngine:
             ia_b = np.zeros((chunk,), np.int32)
             ib_b = np.zeros((chunk,), np.int32)
             lm_b = np.full((chunk,), np.iinfo(np.int32).max, np.int32)
-            for r, (p_idx, a, b) in enumerate(batch):
-                ia_b[r] = ep_slot[a]
-                ib_b[r] = ep_slot[b]
-                lm_b[r] = pair_lm[p_idx]
+            ia_b[: len(batch)] = w_sa[c0 : c0 + len(batch)]
+            ib_b[: len(batch)] = w_sb[c0 : c0 + len(batch)]
+            lm_b[: len(batch)] = w_lm[c0 : c0 + len(batch)]
 
             if kernel == "pallas":
                 # padding lanes get mask 0: they walk NOTHING
@@ -610,7 +620,7 @@ class JaxSearchEngine:
                     threshold,
                     n_pad,
                 )
-            launched.append((batch, out))
+            launched.append((c0, len(batch), out))
 
         launch_span.__exit__(None, None, None)
 
@@ -637,7 +647,7 @@ class JaxSearchEngine:
         parts = []
         _t0 = _time.perf_counter()
         for g0 in range(0, len(launched), group):
-            outs = [o for _, o in launched[g0 : g0 + group]]
+            outs = [o for _, _, o in launched[g0 : g0 + group]]
             _tg = _time.perf_counter()
             parts.append(
                 np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
@@ -654,24 +664,32 @@ class JaxSearchEngine:
         )  # device execute + concat + d2h of the coalesced bitmask
         _t0 = _time.perf_counter()
         row0 = 0
-        items: List[Tuple[int, int, int, int]] = []  # (p_idx, a, b, offset)
-        for batch, out in launched:
+        rows_parts: List[np.ndarray] = []  # global work-row index per item
+        offs_parts: List[np.ndarray] = []  # diagonal offset per item
+        for c0, n_batch, out in launched:
             # out.shape[0] can exceed `chunk` when shard_batch padded the
             # lane axis to the mesh device count; advance by the REAL row
             # count or every later chunk reads misaligned rows.
             counts = counts_all[row0 : row0 + out.shape[0]]
             row0 += out.shape[0]
-            # vectorized bit-unpack over the whole chunk (a per-row
-            # unpackbits loop cost ~9 s at 500k pairs)
+            # fully-vectorized bit-unpack: tuple-at-a-time item appends
+            # cost ~9 s at 500k dense pairs (r4)
             bits = np.unpackbits(
-                counts[: len(batch)], axis=1, bitorder="little"
+                counts[:n_batch], axis=1, bitorder="little"
             )
-            for r, pos in zip(*np.nonzero(bits)):
-                p_idx, a, b = batch[r]
-                items.append((p_idx, a, b, int(pos) + d_base))
+            rs, pos = np.nonzero(bits)
+            rows_parts.append(rs.astype(np.int64) + c0)
+            offs_parts.append(pos.astype(np.int64) + d_base)
+        item_rows = (
+            np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
+        )
+        item_offs = (
+            np.concatenate(offs_parts) if offs_parts else np.zeros(0, np.int64)
+        )
         _metrics.record("search.collect_unpack", _time.perf_counter() - _t0)
         self._extract_candidates(
-            items, sides, pair_cands, pair_lm, ep_slot,
+            item_rows, item_offs, work, w_pidx, w_sa, w_sb, w_lm,
+            sides, pair_cands,
             table_d, vtab_d, threshold, n_pad,
         )
         collect_span.__exit__(None, None, None)
@@ -690,52 +708,61 @@ class JaxSearchEngine:
         return results
 
     def _extract_candidates(
-        self, items, sides, pair_cands, pair_lm, ep_slot,
+        self, item_rows, item_offs, work, w_pidx, w_sa, w_sb, w_lm,
+        sides, pair_cands,
         table_d, vtab_d, threshold, n_pad,
     ) -> None:
         """Turn flagged (pair, diagonal) work items into exact (i, j, run)
         candidates: a batched device pass returns the top-K_CANDS run ends
         per diagonal; overflowing diagonals (count > K_CANDS) rescan on
-        host. NEEDLE_TPU_EXTRACT=host forces the all-host path."""
+        host. NEEDLE_TPU_EXTRACT=host forces the all-host path.
+
+        Items arrive as parallel arrays (work-row index, diagonal offset);
+        batch assembly and result grouping are pure array ops — the
+        tuple-at-a-time versions cost ~10 s at 500k dense pairs (r4).
+        """
         import os
         import time as _time
 
         from ..tracing import metrics as _metrics
 
-        if not items:
+        n_items = len(item_rows)
+        if n_items == 0:
             return
         host_only = (
             os.environ.get("NEEDLE_TPU_EXTRACT") == "host"
-            or jax.default_backend() == "cpu" and len(items) < 64
+            or jax.default_backend() == "cpu" and n_items < 64
         )
         t0 = _time.perf_counter()
         host_diags = 0
         if host_only:
-            for p_idx, a, b, off in items:
+            for row, off in zip(item_rows.tolist(), item_offs.tolist()):
+                p_idx, a, b = work[row]
                 pair_cands.setdefault(p_idx, []).extend(
                     _diag_candidates(
                         sides[a].hashes, sides[b].hashes, off, threshold
                     )
                 )
-            host_diags = len(items)
+            host_diags = n_items
         else:
             CH = 4096
             launched = []
-            for c0 in range(0, len(items), CH):
-                blk = items[c0 : c0 + CH]
-                n_blk = _bucket(len(blk), minimum=min(CH, 256))
+            for c0 in range(0, n_items, CH):
+                rows_blk = item_rows[c0 : c0 + CH]
+                offs_blk = item_offs[c0 : c0 + CH]
+                n_blk = _bucket(len(rows_blk), minimum=min(CH, 256))
                 ia = np.zeros(n_blk, np.int32)
                 ib = np.zeros(n_blk, np.int32)
                 off_a = np.zeros(n_blk, np.int32)
                 lm_a = np.full(n_blk, np.iinfo(np.int32).max, np.int32)
-                for r, (p_idx, a, b, off) in enumerate(blk):
-                    ia[r] = ep_slot[a]
-                    ib[r] = ep_slot[b]
-                    off_a[r] = off
-                    lm_a[r] = pair_lm[p_idx]
+                ia[: len(rows_blk)] = w_sa[rows_blk]
+                ib[: len(rows_blk)] = w_sb[rows_blk]
+                off_a[: len(rows_blk)] = offs_blk
+                lm_a[: len(rows_blk)] = w_lm[rows_blk]
                 launched.append(
                     (
-                        blk,
+                        rows_blk,
+                        offs_blk,
                         _batch_extract_candidates(
                             table_d, vtab_d, jnp.asarray(ia),
                             jnp.asarray(ib), jnp.asarray(off_a),
@@ -743,16 +770,19 @@ class JaxSearchEngine:
                         ),
                     )
                 )
-            for blk, (end_i_d, runs_d, counts_d) in launched:
-                end_i = np.asarray(end_i_d)[: len(blk)]
-                runs = np.asarray(runs_d)[: len(blk)]
-                counts = np.asarray(counts_d)[: len(blk)]
+            cand_p_parts, cand_i_parts = [], []
+            cand_off_parts, cand_run_parts = [], []
+            for rows_blk, offs_blk, (end_i_d, runs_d, counts_d) in launched:
+                end_i = np.asarray(end_i_d)[: len(rows_blk)]
+                runs = np.asarray(runs_d)[: len(rows_blk)]
+                counts = np.asarray(counts_d)[: len(rows_blk)]
                 # pathological diagonals (count > K): exact host extraction
                 for r in np.flatnonzero(counts > K_CANDS):
-                    p_idx, a, b, off = blk[r]
+                    p_idx, a, b = work[rows_blk[r]]
                     pair_cands.setdefault(p_idx, []).extend(
                         _diag_candidates(
-                            sides[a].hashes, sides[b].hashes, off, threshold
+                            sides[a].hashes, sides[b].hashes,
+                            int(offs_blk[r]), threshold,
                         )
                     )
                     host_diags += 1
@@ -761,15 +791,34 @@ class JaxSearchEngine:
                 rs, ks = np.nonzero(
                     (end_i >= 0) & (counts <= K_CANDS)[:, None]
                 )
-                ei_v = end_i[rs, ks].tolist()
-                run_v = runs[rs, ks].tolist()
-                for r, ei, rn in zip(rs.tolist(), ei_v, run_v):
-                    p_idx, _, _, off = blk[r]
-                    pair_cands.setdefault(p_idx, []).append(
-                        (ei, ei + off, rn)
+                cand_p_parts.append(w_pidx[rows_blk[rs]])
+                cand_i_parts.append(end_i[rs, ks].astype(np.int64))
+                cand_off_parts.append(offs_blk[rs])
+                cand_run_parts.append(runs[rs, ks].astype(np.int64))
+            if cand_p_parts:
+                cand_p = np.concatenate(cand_p_parts)
+                cand_i = np.concatenate(cand_i_parts)
+                cand_j = cand_i + np.concatenate(cand_off_parts)
+                cand_run = np.concatenate(cand_run_parts)
+                # group candidates by pair in one stable sort; order within
+                # a pair is irrelevant downstream (_entries_from_candidates
+                # re-sorts into the reference walk order)
+                order = np.argsort(cand_p, kind="stable")
+                cp = cand_p[order]
+                trip = np.stack(
+                    [cand_i[order], cand_j[order], cand_run[order]], axis=1
+                )
+                starts = np.flatnonzero(
+                    np.r_[True, cp[1:] != cp[:-1]]
+                )
+                bounds = np.r_[starts, len(cp)]
+                for s in range(len(starts)):
+                    s0, s1 = bounds[s], bounds[s + 1]
+                    pair_cands.setdefault(int(cp[s0]), []).extend(
+                        map(tuple, trip[s0:s1].tolist())
                     )
         _metrics.record("search.extract", _time.perf_counter() - t0)
-        _metrics.record("search.extract_diags", float(len(items)))
+        _metrics.record("search.extract_diags", float(n_items))
         if host_diags:
             _metrics.record("search.extract_host_fallback", float(host_diags))
 
