@@ -526,14 +526,18 @@ class JaxSearchEngine:
         # l_min per pair (cells): conservative run-length bound from the
         # min duration and each side's max hash spacing — used by the
         # kernels, and its minimum over the work list sizes the pair
-        # prefilter's block width.
-        for p_idx, a, b in work:
-            sa, sb = sides[a], sides[b]
-            lm = max(
-                -(-min_dur_ns // sa.max_spacing),
-                -(-min_dur_ns // sb.max_spacing),
-            )
-            pair_lm[p_idx] = min(lm, np.iinfo(np.int32).max)
+        # prefilter's block width. Array math over the work list (the
+        # per-pair Python loop was ~1 s at 500k pairs).
+        a_arr = np.fromiter((a for _, a, _ in work), np.int64, len(work))
+        b_arr = np.fromiter((b for _, _, b in work), np.int64, len(work))
+        ceil_ep = np.ones(len(sides), np.int64)
+        for e in ep_ids:
+            ceil_ep[e] = -(-min_dur_ns // sides[e].max_spacing)
+        lm_w = np.minimum(
+            np.maximum(ceil_ep[a_arr], ceil_ep[b_arr]),
+            np.iinfo(np.int32).max,
+        )
+        pair_lm = dict(zip((p for p, _, _ in work), lm_w.tolist()))
 
         # Exact MXU pair prefilter. For the Pallas kernel the band variant
         # additionally returns per-(pair, group) row-block bitmasks that

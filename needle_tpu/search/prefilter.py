@@ -252,14 +252,15 @@ def prefilter_band_masks(
     # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB; env knob for
     # dispatch-amortization probes
     chunk = int(os.environ.get("NEEDLE_TPU_PREFILTER_CHUNK", "256"))
+    sa = np.fromiter((ep_slot[a] for _, a, _ in work), np.int32, len(work))
+    sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, len(work))
     outs = []
     for c0 in range(0, len(work), chunk):
-        batch = work[c0 : c0 + chunk]
+        n_batch = min(chunk, len(work) - c0)
         ia = np.zeros((chunk,), np.int32)
         ib = np.zeros((chunk,), np.int32)
-        for r, (_, a, b) in enumerate(batch):
-            ia[r] = ep_slot[a]
-            ib[r] = ep_slot[b]
+        ia[:n_batch] = sa[c0 : c0 + n_batch]
+        ib[:n_batch] = sb[c0 : c0 + n_batch]
         outs.append(
             _chunk_band_masks(
                 exp, ia, ib, w, threshold, n_pad, gd, n_groups, n_blocks
@@ -300,14 +301,19 @@ def prefilter_pairs(table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad):
     probe_pairs = 8 * chunk
 
     def masks_for(span_work):
+        sa = np.fromiter(
+            (ep_slot[a] for _, a, _ in span_work), np.int32, len(span_work)
+        )
+        sb = np.fromiter(
+            (ep_slot[b] for _, _, b in span_work), np.int32, len(span_work)
+        )
         masks = []
         for c0 in range(0, len(span_work), chunk):
-            batch = span_work[c0 : c0 + chunk]
+            n_batch = min(chunk, len(span_work) - c0)
             ia = np.zeros((chunk,), np.int32)
             ib = np.zeros((chunk,), np.int32)
-            for r, (_, a, b) in enumerate(batch):
-                ia[r] = ep_slot[a]
-                ib[r] = ep_slot[b]
+            ia[:n_batch] = sa[c0 : c0 + n_batch]
+            ib[:n_batch] = sb[c0 : c0 + n_batch]
             best = _chunk_max_corr(exp, ia, ib, w, threshold, n_pad)
             masks.append(best >= bound)
         flat = np.concatenate(jax.device_get(masks))[: len(span_work)]
