@@ -215,3 +215,32 @@ def test_decimate_replica_three_ways():
 
         dev = np.asarray(_device_decimate2_hb_i32(x, odd_q, c0))
         np.testing.assert_array_equal(dev, ref)
+
+
+def test_native_output_adoption_lifetime(rng=np.random.default_rng(3)):
+    """Native decimator outputs are adopted zero-copy (_adopt_native_i16):
+    the array must carry a base (not an owning copy), views must keep the
+    native buffer alive after the parent is dropped, and values must match
+    the canonical numpy halfband replica."""
+    import gc
+
+    from needle_tpu import ingest
+    from needle_tpu.fingerprint.decimate import _HB_MAIN, _halfband_q14
+
+    if not ingest.native_available():
+        pytest.skip("native ingest unavailable")
+    x = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    odd, c0 = _halfband_q14(*_HB_MAIN)
+    y = ingest.decimate2_hb(x, 1, odd, c0)
+    ref = decimate2_hb_np(x.reshape(-1, 1), odd, c0).reshape(-1)
+    np.testing.assert_array_equal(y, ref.astype(np.int16))
+    # zero-copy: the ndarray wraps the native buffer instead of owning a
+    # fresh allocation (the old .copy() path had base None)
+    assert y.base is not None
+    view = y[100:200]
+    snapshot = view.copy()
+    del y
+    gc.collect()
+    np.testing.assert_array_equal(view, snapshot)  # buffer still alive
+    del view
+    gc.collect()  # finalizer frees the native buffer; must not crash
