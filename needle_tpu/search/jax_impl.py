@@ -429,6 +429,118 @@ class JaxSearchEngine:
         ]
         return binary_heap_order(entries)
 
+    def _entries_batch(
+        self, results, cand_row, cand_i, cand_j, cand_L,
+        w_pidx, w_sa, w_sb, a_arr, b_arr, ep_ids, sides,
+        hash_durations, is_opening, min_dur_ns, n_pad, e_pad,
+    ) -> None:
+        """Library-wide vectorization of `_entries_from_candidates` (the
+        per-pair scalar spec, kept above as the readable reference — a
+        regression test pins their equivalence). One lexsort establishes
+        every pair's reference walk order, timestamp gathers and the
+        min-duration filter run over a (e_pad, n_pad) ts table, simhashes
+        batch per episode (prefix sums are per-episode anyway), and heap
+        keys come from the arrays instead of per-entry ord_key() calls.
+        The per-pair version cost ~95 us/pair (~48 s at 500k dense pairs,
+        r4) — bigger than any recorded device stage of the dense walk."""
+        from .oracle import binary_heap_order_keyed, simhash32_from_prefix
+
+        if len(cand_row) == 0:
+            return
+        # reference walk order within each pair: sorted by (-i, -j)
+        order = np.lexsort((-cand_j, -cand_i, cand_row))
+        row = cand_row[order]
+        i = cand_i[order]
+        j = cand_j[order]
+        L = cand_L[order]
+        ssi, dsi = i - L, j - L
+
+        ts_tab = np.zeros((e_pad, n_pad), np.int64)
+        for s, e in enumerate(ep_ids):
+            t = sides[e].ts
+            ts_tab[s, : len(t)] = t
+        sa, sb = w_sa[row], w_sb[row]
+        src_start, src_end = ts_tab[sa, ssi], ts_tab[sa, i]
+        dst_start, dst_end = ts_tab[sb, dsi], ts_tab[sb, j]
+        sel = np.flatnonzero(
+            ((src_end - src_start) >= min_dur_ns)
+            & ((dst_end - dst_start) >= min_dur_ns)
+        )
+        if len(sel) == 0:
+            return
+        row, i, j, L, ssi, dsi = (
+            row[sel], i[sel], j[sel], L[sel], ssi[sel], dsi[sel]
+        )
+        src_start, src_end = src_start[sel], src_end[sel]
+        dst_start, dst_end = dst_start[sel], dst_end[sel]
+        sa, sb = sa[sel], sb[sel]
+
+        # simhash per episode (not per pair): group the surviving
+        # candidates by src/dst slot and evaluate each episode's prefix
+        # sums once over all its ranges
+        def sim_by_slot(slots, starts, ends):
+            out = np.empty(len(slots), np.uint64)
+            o2 = np.argsort(slots, kind="stable")
+            sl = slots[o2]
+            g0 = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+            gb = np.r_[g0, len(sl)]
+            for g in range(len(g0)):
+                idx = o2[gb[g] : gb[g + 1]]
+                prefix = sides[ep_ids[int(sl[gb[g]])]].simhash_prefix
+                out[idx] = simhash32_from_prefix(prefix, starts[idx], ends[idx])
+            return out
+
+        src_sim = sim_by_slot(sa, ssi, i)
+        dst_sim = sim_by_slot(sb, dsi, j)
+
+        # Inlined Duration construction (values are non-negative host ints
+        # straight from the int64 ts table) and positional RunEntry args:
+        # object construction is ~80% of this loop's time, ~14 us/entry
+        # through the public constructors vs ~8 us this way (profiled r4).
+        D_new = Duration.__new__
+        not_opening = not is_opening
+        # per-pair groups (row is sorted ascending)
+        g0 = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        gb = np.r_[g0, len(row)]
+        L_l = L.tolist()
+        ss_l, se_l = src_start.tolist(), src_end.tolist()
+        ds_l, de_l = dst_start.tolist(), dst_end.tolist()
+        ssim_l, dsim_l = src_sim.tolist(), dst_sim.tolist()
+        row_l = row.tolist()
+        for g in range(len(g0)):
+            s0, s1 = int(gb[g]), int(gb[g + 1])
+            r = row_l[s0]
+            src_hd = hash_durations[a_arr[r]]
+            dst_hd = hash_durations[b_arr[r]]
+            entries, keys = [], []
+            for k in range(s0, s1):
+                ss, se = ss_l[k], se_l[k]
+                ds, de = ds_l[k], de_l[k]
+                d_ss = D_new(Duration); d_ss._nanos = ss
+                d_se = D_new(Duration); d_se._nanos = se
+                d_ds = D_new(Duration); d_ds._nanos = ds
+                d_de = D_new(Duration); d_de._nanos = de
+                entries.append(
+                    RunEntry(
+                        L_l[k],
+                        (d_ss, d_se),
+                        (d_ds, d_de),
+                        ssim_l[k],
+                        dsim_l[k],
+                        is_opening,
+                        not_opening,
+                        is_opening,
+                        not_opening,
+                        src_hd,
+                        dst_hd,
+                    )
+                )
+                # Ord-key prefix: the dropped suffix (flags, hash
+                # durations) is constant within one pair's heap, so it
+                # can never change a comparison (binary_heap_order_keyed)
+                keys.append((L_l[k], ss, se, ds, de, ssim_l[k], dsim_l[k]))
+            results[int(w_pidx[r])] = binary_heap_order_keyed(entries, keys)
+
     def _search_side(
         self,
         comparator,
@@ -485,7 +597,6 @@ class JaxSearchEngine:
             pow2 *= 2
         chunk = min(chunk, pow2)
 
-        pair_cands: Dict[int, List[Tuple[int, int, int]]] = {}
         pair_lm: Dict[int, int] = {}
         d_base = -(n_pad - 1)
 
@@ -676,14 +787,19 @@ class JaxSearchEngine:
             # count or every later chunk reads misaligned rows.
             counts = counts_all[row0 : row0 + out.shape[0]]
             row0 += out.shape[0]
-            # fully-vectorized bit-unpack: tuple-at-a-time item appends
-            # cost ~9 s at 500k dense pairs (r4)
-            bits = np.unpackbits(
-                counts[:n_batch], axis=1, bitorder="little"
+            # Sparse bit expansion: nonzero BYTES first, then expand only
+            # those. unpackbits materialized the full (chunk, n_diag) bit
+            # matrix — ~2.6 GB of host traffic and ~12 s at 500k dense
+            # pairs vs ~2 s this way (identical row-major item order).
+            a8 = counts[:n_batch]
+            rb, cb = np.nonzero(a8)
+            v = a8[rb, cb]
+            bitmat = (v[:, None] >> np.arange(8, dtype=np.uint8)) & 1
+            sub_r, sub_k = np.nonzero(bitmat)
+            rows_parts.append(rb[sub_r].astype(np.int64) + c0)
+            offs_parts.append(
+                (cb[sub_r].astype(np.int64) * 8 + sub_k) + d_base
             )
-            rs, pos = np.nonzero(bits)
-            rows_parts.append(rs.astype(np.int64) + c0)
-            offs_parts.append(pos.astype(np.int64) + d_base)
         item_rows = (
             np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
         )
@@ -691,62 +807,67 @@ class JaxSearchEngine:
             np.concatenate(offs_parts) if offs_parts else np.zeros(0, np.int64)
         )
         _metrics.record("search.collect_unpack", _time.perf_counter() - _t0)
-        self._extract_candidates(
-            item_rows, item_offs, work, w_pidx, w_sa, w_sb, w_lm,
-            sides, pair_cands,
-            table_d, vtab_d, threshold, n_pad,
+        cand_row, cand_i, cand_j, cand_L = self._extract_candidates(
+            item_rows, item_offs, work, w_sa, w_sb, w_lm,
+            sides, table_d, vtab_d, threshold, n_pad,
         )
         collect_span.__exit__(None, None, None)
 
-        for p_idx, a, b in work:
-            sa, sb = sides[a], sides[b]
-            results[p_idx] = self._entries_from_candidates(
-                sa,
-                sb,
-                pair_cands.get(p_idx, []),
-                hash_durations[a],
-                hash_durations[b],
-                is_opening,
-                min_dur_ns,
+        with span("search.entries", cands=len(cand_row)):
+            self._entries_batch(
+                results, cand_row, cand_i, cand_j, cand_L,
+                w_pidx, w_sa, w_sb, a_arr, b_arr, ep_ids, sides,
+                hash_durations, is_opening, min_dur_ns, n_pad, e_pad,
             )
         return results
 
     def _extract_candidates(
-        self, item_rows, item_offs, work, w_pidx, w_sa, w_sb, w_lm,
-        sides, pair_cands,
-        table_d, vtab_d, threshold, n_pad,
-    ) -> None:
+        self, item_rows, item_offs, work, w_sa, w_sb, w_lm,
+        sides, table_d, vtab_d, threshold, n_pad,
+    ):
         """Turn flagged (pair, diagonal) work items into exact (i, j, run)
         candidates: a batched device pass returns the top-K_CANDS run ends
         per diagonal; overflowing diagonals (count > K_CANDS) rescan on
         host. NEEDLE_TPU_EXTRACT=host forces the all-host path.
 
-        Items arrive as parallel arrays (work-row index, diagonal offset);
-        batch assembly and result grouping are pure array ops — the
-        tuple-at-a-time versions cost ~10 s at 500k dense pairs (r4).
+        Items arrive and candidates leave as parallel arrays — returns
+        (cand_row, cand_i, cand_j, cand_L) int64 arrays where cand_row
+        indexes `work`. The tuple-at-a-time versions of this plumbing cost
+        ~10 s at 500k dense pairs (r4); _entries_batch consumes the arrays
+        without ever materializing per-pair candidate lists.
         """
         import os
         import time as _time
 
         from ..tracing import metrics as _metrics
 
+        empty = np.zeros(0, np.int64)
         n_items = len(item_rows)
         if n_items == 0:
-            return
+            return empty, empty, empty, empty
         host_only = (
             os.environ.get("NEEDLE_TPU_EXTRACT") == "host"
             or jax.default_backend() == "cpu" and n_items < 64
         )
         t0 = _time.perf_counter()
         host_diags = 0
+        row_parts, i_parts, j_parts, L_parts = [], [], [], []
+
+        def host_diag(row: int, off: int) -> None:
+            _, a, b = work[row]
+            cands = _diag_candidates(
+                sides[a].hashes, sides[b].hashes, off, threshold
+            )
+            if cands:
+                arr = np.asarray(cands, np.int64)
+                row_parts.append(np.full(len(arr), row, np.int64))
+                i_parts.append(arr[:, 0])
+                j_parts.append(arr[:, 1])
+                L_parts.append(arr[:, 2])
+
         if host_only:
             for row, off in zip(item_rows.tolist(), item_offs.tolist()):
-                p_idx, a, b = work[row]
-                pair_cands.setdefault(p_idx, []).extend(
-                    _diag_candidates(
-                        sides[a].hashes, sides[b].hashes, off, threshold
-                    )
-                )
+                host_diag(row, off)
             host_diags = n_items
         else:
             CH = 4096
@@ -774,57 +895,38 @@ class JaxSearchEngine:
                         ),
                     )
                 )
-            cand_p_parts, cand_i_parts = [], []
-            cand_off_parts, cand_run_parts = [], []
             for rows_blk, offs_blk, (end_i_d, runs_d, counts_d) in launched:
                 end_i = np.asarray(end_i_d)[: len(rows_blk)]
                 runs = np.asarray(runs_d)[: len(rows_blk)]
                 counts = np.asarray(counts_d)[: len(rows_blk)]
                 # pathological diagonals (count > K): exact host extraction
                 for r in np.flatnonzero(counts > K_CANDS):
-                    p_idx, a, b = work[rows_blk[r]]
-                    pair_cands.setdefault(p_idx, []).extend(
-                        _diag_candidates(
-                            sides[a].hashes, sides[b].hashes,
-                            int(offs_blk[r]), threshold,
-                        )
-                    )
+                    host_diag(int(rows_blk[r]), int(offs_blk[r]))
                     host_diags += 1
                 # vectorized unpack of the filled slots (a python loop over
                 # every K slot of every item cost ~30 s at 500k diagonals)
                 rs, ks = np.nonzero(
                     (end_i >= 0) & (counts <= K_CANDS)[:, None]
                 )
-                cand_p_parts.append(w_pidx[rows_blk[rs]])
-                cand_i_parts.append(end_i[rs, ks].astype(np.int64))
-                cand_off_parts.append(offs_blk[rs])
-                cand_run_parts.append(runs[rs, ks].astype(np.int64))
-            if cand_p_parts:
-                cand_p = np.concatenate(cand_p_parts)
-                cand_i = np.concatenate(cand_i_parts)
-                cand_j = cand_i + np.concatenate(cand_off_parts)
-                cand_run = np.concatenate(cand_run_parts)
-                # group candidates by pair in one stable sort; order within
-                # a pair is irrelevant downstream (_entries_from_candidates
-                # re-sorts into the reference walk order)
-                order = np.argsort(cand_p, kind="stable")
-                cp = cand_p[order]
-                trip = np.stack(
-                    [cand_i[order], cand_j[order], cand_run[order]], axis=1
-                )
-                starts = np.flatnonzero(
-                    np.r_[True, cp[1:] != cp[:-1]]
-                )
-                bounds = np.r_[starts, len(cp)]
-                for s in range(len(starts)):
-                    s0, s1 = bounds[s], bounds[s + 1]
-                    pair_cands.setdefault(int(cp[s0]), []).extend(
-                        map(tuple, trip[s0:s1].tolist())
-                    )
+                ei = end_i[rs, ks].astype(np.int64)
+                row_parts.append(rows_blk[rs])
+                i_parts.append(ei)
+                j_parts.append(ei + offs_blk[rs])
+                L_parts.append(runs[rs, ks].astype(np.int64))
+        if row_parts:
+            out = (
+                np.concatenate(row_parts),
+                np.concatenate(i_parts),
+                np.concatenate(j_parts),
+                np.concatenate(L_parts),
+            )
+        else:
+            out = (empty, empty, empty, empty)
         _metrics.record("search.extract", _time.perf_counter() - t0)
         _metrics.record("search.extract_diags", float(n_items))
         if host_diags:
             _metrics.record("search.extract_host_fallback", float(host_diags))
+        return out
 
     def search_pairs(self, comparator, frame_hashes, pairs, threading=True):
         """Engine entry point used by Comparator.run_with_frame_hashes.

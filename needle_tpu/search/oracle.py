@@ -87,9 +87,13 @@ def simhash32_batch(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray) ->
     return simhash32_from_prefix(simhash_prefix(hashes), starts, ends)
 
 
-@dataclass
+@dataclass(slots=True)
 class RunEntry:
-    """Mirror of ComparatorHeapEntry (comparator.rs:22-35)."""
+    """Mirror of ComparatorHeapEntry (comparator.rs:22-35).
+
+    slots=True: millions of these are constructed per dense whole-library
+    scan (one per valid candidate); slotted construction measured ~30%
+    cheaper and the engines' entry loops are construction-bound (r4)."""
 
     score: int
     src_longest_run: Tuple[Duration, Duration]
@@ -126,10 +130,19 @@ class RunEntry:
 def binary_heap_order(entries: List[RunEntry]) -> List[RunEntry]:
     """Emulate `BinaryHeap::push` for each entry in order, then `heap.into()`
     (which exposes the heap's backing array, NOT sorted order)."""
+    return binary_heap_order_keyed(entries, [e.ord_key() for e in entries])
+
+
+def binary_heap_order_keyed(entries: List[RunEntry], ord_keys) -> List[RunEntry]:
+    """`binary_heap_order` with caller-supplied Ord keys.
+
+    `ord_keys[k]` must order identically to `entries[k].ord_key()`; any
+    constant suffix of the full Ord tuple may be dropped (a shared suffix
+    never changes lexicographic comparisons within one call). Lets batched
+    engines build keys from arrays instead of per-entry ord_key() calls."""
     data: List[RunEntry] = []
     keys = []
-    for e in entries:
-        k = e.ord_key()
+    for e, k in zip(entries, ord_keys):
         data.append(e)
         keys.append(k)
         # sift_up(start=0, pos=len-1)

@@ -245,3 +245,73 @@ def test_batched_analyzer_matches_single(tmp_path):
         np.testing.assert_array_equal(b.ending_hashes, s.ending_hashes)
         np.testing.assert_array_equal(b.ending_ts_nanos, s.ending_ts_nanos)
         assert b.md5() == s.md5()
+
+
+def test_entries_batch_matches_scalar_spec():
+    """_entries_batch (library-wide vectorization) must produce EXACTLY the
+    RunEntry lists of _entries_from_candidates (the per-pair scalar spec),
+    including the BinaryHeap backing order, for every pair of a synthetic
+    library with shared episodes, duration-filtered candidates, and empty
+    pairs."""
+    from needle_tpu.search.jax_impl import JaxSearchEngine, _EpisodeSide
+
+    rng = np.random.default_rng(42)
+    n_eps, n_pad = 6, 256
+    sides = []
+    for _ in range(n_eps):
+        n = int(rng.integers(150, 250))
+        hashes = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        ts = np.cumsum(rng.integers(80, 160, size=n)).astype(np.int64) * int(1e6)
+        sides.append(_EpisodeSide(hashes, ts))
+    hash_durations = [Duration.from_nanos(int(1.238e8))] * n_eps
+    min_dur_ns = int(3e9)
+
+    work, p = [], 0
+    for a in range(n_eps):
+        for b in range(a + 1, n_eps):
+            work.append((p, a, b))
+            p += 1
+    ep_ids = list(range(n_eps))
+    w_pidx = np.array([w[0] for w in work], np.int64)
+    w_sa = np.array([w[1] for w in work], np.int32)
+    w_sb = np.array([w[2] for w in work], np.int32)
+    a_arr = np.array([w[1] for w in work], np.int64)
+    b_arr = np.array([w[2] for w in work], np.int64)
+
+    # random candidates: some long enough to survive the duration filter,
+    # some not; pairs 0 and 7 get none at all
+    cands = []
+    for row, (p_idx, a, b) in enumerate(work):
+        if p_idx in (0, 7):
+            continue
+        for _ in range(int(rng.integers(1, 6))):
+            L = int(rng.integers(2, 80))
+            i = int(rng.integers(L, len(sides[a].hashes)))
+            j = int(rng.integers(L, len(sides[b].hashes)))
+            cands.append((row, i, j, L))
+    rng.shuffle(cands)
+    cand_row = np.array([c[0] for c in cands], np.int64)
+    cand_i = np.array([c[1] for c in cands], np.int64)
+    cand_j = np.array([c[2] for c in cands], np.int64)
+    cand_L = np.array([c[3] for c in cands], np.int64)
+
+    eng = JaxSearchEngine.__new__(JaxSearchEngine)  # no device needed
+
+    batch = {pi: [] for pi, _, _ in work}
+    eng._entries_batch(
+        batch, cand_row, cand_i, cand_j, cand_L,
+        w_pidx, w_sa, w_sb, a_arr, b_arr, ep_ids, sides,
+        hash_durations, True, min_dur_ns, n_pad, n_eps,
+    )
+
+    for row, (p_idx, a, b) in enumerate(work):
+        mine = [
+            (int(i), int(j), int(L))
+            for r, i, j, L in zip(cand_row, cand_i, cand_j, cand_L)
+            if r == row
+        ]
+        ref = eng._entries_from_candidates(
+            sides[a], sides[b], mine,
+            hash_durations[a], hash_durations[b], True, min_dur_ns,
+        )
+        assert batch[p_idx] == ref, f"pair {p_idx} diverged"
