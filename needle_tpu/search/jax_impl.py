@@ -967,24 +967,21 @@ class JaxSearchEngine:
                 comparator, end_sides, hash_durations, pairs, False
             )
 
+        # This engine's entries carry uniform flags per side (openings are
+        # all is_*_opening, endings all is_*_ending — _entries_batch), so
+        # the reference's per-entry flag regrouping (comparator.rs:290-303,
+        # mirrored in Comparator._find_opening_and_ending_with) reduces to
+        # placing each side's whole list in both src and dst slots.
+        empty: List[RunEntry] = []
         infos = []
         for p_idx in range(len(pairs)):
-            entries = list(open_entries.get(p_idx, []))
-            if comparator.include_endings:
-                entries.extend(end_entries.get(p_idx, []))
-            src_openings, src_endings, dst_openings, dst_endings = [], [], [], []
-            for e in entries:
-                if e.is_src_opening:
-                    src_openings.append(e)
-                elif e.is_src_ending:
-                    src_endings.append(e)
-                if e.is_dst_opening:
-                    dst_openings.append(e)
-                elif e.is_dst_ending:
-                    dst_endings.append(e)
+            op = open_entries.get(p_idx, empty)
+            en = (
+                end_entries.get(p_idx, empty)
+                if comparator.include_endings
+                else empty
+            )
             infos.append(
-                OpeningAndEndingInfo(
-                    src_openings, dst_openings, src_endings, dst_endings
-                )
+                OpeningAndEndingInfo(list(op), list(op), list(en), list(en))
             )
         return infos
