@@ -271,27 +271,38 @@ class Comparator:
         if len(matches) == 0:
             return None
 
-        # candidates: ((start, end), hash_duration, match_hash), is_opening
+        # candidates: ((start, end), hash_duration) + parallel arrays of
+        # match hash / duration nanos / is_opening. Flat arrays instead of
+        # per-candidate tuples+scalar np.float32 math: a dense 1000-episode
+        # library funnels ~2000 candidates into EACH episode's vote and the
+        # scalar version measured ~43 ms/episode (~43 s per scan, r4).
         candidates = []
+        sims_l, durs_l, open_l = [], [], []
         for m, is_source in matches:
             if is_source:
-                for e in m.src_openings:
-                    candidates.append(
-                        ((e.src_longest_run, e.src_hash_duration, e.src_match_hash), True)
-                    )
-                for e in m.src_endings:
-                    candidates.append(
-                        ((e.src_longest_run, e.src_hash_duration, e.src_match_hash), False)
-                    )
+                groups = ((m.src_openings, True), (m.src_endings, False))
             else:
-                for e in m.dst_openings:
-                    candidates.append(
-                        ((e.dst_longest_run, e.dst_hash_duration, e.dst_match_hash), True)
-                    )
-                for e in m.dst_endings:
-                    candidates.append(
-                        ((e.dst_longest_run, e.dst_hash_duration, e.dst_match_hash), False)
-                    )
+                groups = ((m.dst_openings, True), (m.dst_endings, False))
+            for entries, is_opening in groups:
+                for e in entries:
+                    if is_source:
+                        run, hd, mh = (
+                            e.src_longest_run,
+                            e.src_hash_duration,
+                            e.src_match_hash,
+                        )
+                    else:
+                        run, hd, mh = (
+                            e.dst_longest_run,
+                            e.dst_hash_duration,
+                            e.dst_match_hash,
+                        )
+                    candidates.append((run, hd))
+                    sims_l.append(mh)
+                    # run end >= start always (they delimit a found run),
+                    # so plain int math matches Duration.__sub__ here
+                    durs_l.append(run[1]._nanos - run[0]._nanos)
+                    open_l.append(is_opening)
 
         best = SearchResult()
         if not candidates:
@@ -304,31 +315,41 @@ class Comparator:
         # candidate is only ELIGIBLE if at least one pair (including itself)
         # qualified — with threshold 0 nothing enters the reference's
         # distinct-match map and no opening/ending is reported at all.
-        sim = np.array([c[0][2] for c in candidates], dtype=np.uint32)
-        dist = popcount_u32(sim[:, None] ^ sim[None, :])
+        # Votes depend only on the simhash VALUES, so the pairwise distance
+        # matrix is computed over unique values with multiplicities — exact,
+        # and k-squared only in distinct hashes instead of candidates.
+        sim = np.array(sims_l, dtype=np.uint32)
+        uniq, inv, cnt = np.unique(
+            sim, return_inverse=True, return_counts=True
+        )
+        dist_u = popcount_u32(uniq[:, None] ^ uniq[None, :])
         bias_threshold = self.hash_match_threshold + self.hash_match_threshold // 2
-        qualified = dist < bias_threshold
-        votes = qualified.sum(axis=1).astype(np.int64)
-        eligible = qualified.any(axis=1)
+        qualified_u = dist_u < bias_threshold
+        votes = (qualified_u * cnt[None, :]).sum(axis=1).astype(np.int64)[inv]
+        eligible = qualified_u.any(axis=1)[inv]
+
+        # Reference scoring, vectorized with identical f32 arithmetic:
+        # score = -(count as f32 * 0.3f32 + duration_secs * 0.7f32), where
+        # duration_secs is Rust Duration::as_secs_f32 (f32 secs + f32
+        # subsec / 1e9f32); elementwise np.float32 ops are the same IEEE
+        # single-precision operations as the scalar version.
+        dur_n = np.array(durs_l, dtype=np.int64)
+        dur_f32 = (dur_n // 1_000_000_000).astype(np.float32) + (
+            dur_n % 1_000_000_000
+        ).astype(np.float32) / np.float32(1e9)
+        score = -(
+            votes.astype(np.float32) * np.float32(0.3)
+            + dur_f32 * np.float32(0.7)
+        )
+        is_open_arr = np.array(open_l, dtype=bool)
 
         def pick(want_opening: bool):
-            scored = []
-            for k, (c, is_opening) in enumerate(candidates):
-                if is_opening != want_opening or not eligible[k]:
-                    continue
-                (start, end), _, _ = c
-                count = int(votes[k])
-                duration_secs = (end - start).as_secs_f32()
-                score = -(
-                    np.float32(count) * np.float32(0.3)
-                    + duration_secs * np.float32(0.7)
-                )
-                scored.append((float(score), k))
-            scored.sort()  # lexicographic (score, k), like the reference tuple sort
-            if not scored:
+            sel = np.flatnonzero((is_open_arr == want_opening) & eligible)
+            if len(sel) == 0:
                 return None
-            _, idx = scored[0]
-            (start, end), hash_duration, _ = candidates[idx][0]
+            # lexicographic (score, k) minimum, like the reference tuple sort
+            idx = int(sel[np.lexsort((sel, score[sel]))[0]])
+            (start, end), hash_duration = candidates[idx]
             return (
                 start + self.time_padding,
                 end - self.time_padding - hash_duration,

@@ -144,3 +144,94 @@ def test_threshold_zero_reports_nothing(rng):
             fhs, display=False, use_skip_files=False, write_skip_files=False
         )
         assert all(r.opening is None for r in res)
+
+
+def test_find_best_match_matches_scalar_reference(rng):
+    """The vectorized voting (unique-sim distance matrix + f32 array
+    scoring) must reproduce the reference's scalar semantics exactly:
+    per-candidate pairwise popcount votes, strict bias threshold
+    (thr + thr//2), -(votes*0.3f32 + dur*0.7f32) scoring with (score, k)
+    tie-break, and the thr=0 nothing-qualifies edge."""
+    from needle_tpu.comparator import Comparator, OpeningAndEndingInfo
+    from needle_tpu.duration import Duration
+    from needle_tpu.search.oracle import RunEntry, popcount_u32
+
+    def scalar_reference(comp, matches):
+        # direct transcription of comparator.rs:405-515
+        cands = []
+        for m, is_source in matches:
+            groups = (
+                ((m.src_openings, True), (m.src_endings, False))
+                if is_source
+                else ((m.dst_openings, True), (m.dst_endings, False))
+            )
+            for entries, is_open in groups:
+                for e in entries:
+                    if is_source:
+                        c = (e.src_longest_run, e.src_hash_duration,
+                             e.src_match_hash)
+                    else:
+                        c = (e.dst_longest_run, e.dst_hash_duration,
+                             e.dst_match_hash)
+                    cands.append((c, is_open))
+        if not cands:
+            return None, None
+        sim = np.array([c[0][2] for c in cands], dtype=np.uint32)
+        dist = popcount_u32(sim[:, None] ^ sim[None, :])
+        bias = comp.hash_match_threshold + comp.hash_match_threshold // 2
+        q = dist < bias
+        votes = q.sum(axis=1)
+        eligible = q.any(axis=1)
+
+        def pick(want):
+            scored = []
+            for k, (c, is_open) in enumerate(cands):
+                if is_open != want or not eligible[k]:
+                    continue
+                (start, end), _, _ = c
+                dur = (end - start).as_secs_f32()
+                s = -(np.float32(int(votes[k])) * np.float32(0.3)
+                      + dur * np.float32(0.7))
+                scored.append((float(s), k))
+            scored.sort()
+            if not scored:
+                return None
+            (start, end), hd, _ = cands[scored[0][1]][0]
+            return (start + comp.time_padding,
+                    end - comp.time_padding - hd)
+
+        return pick(True), pick(False)
+
+    hd = Duration.from_nanos(123_800_000)
+
+    def entry(is_open, sim, dur_s):
+        s = int(rng.integers(0, 400)) * 10**9
+        e = s + int(dur_s) * 10**9
+        return RunEntry(50, (Duration.from_nanos(s), Duration.from_nanos(e)),
+                        (Duration.from_nanos(s), Duration.from_nanos(e)),
+                        int(sim), int(sim), is_open, not is_open,
+                        is_open, not is_open, hd, hd)
+
+    for thr in (0, 1, 10, 14):
+        for trial in range(8):
+            # small sim alphabet forces vote multiplicities and score ties
+            sims = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+            matches = []
+            for k in range(int(rng.integers(2, 40))):
+                op = [entry(True, sims[rng.integers(4)],
+                            rng.integers(20, 24))
+                      for _ in range(int(rng.integers(0, 3)))]
+                en = [entry(False, sims[rng.integers(4)],
+                            rng.integers(20, 24))
+                      for _ in range(int(rng.integers(0, 3)))]
+                matches.append(
+                    (OpeningAndEndingInfo(op, op, en, en), bool(k % 2))
+                )
+            comp = Comparator.__new__(Comparator)
+            comp.hash_match_threshold = thr
+            comp.include_endings = True
+            comp.time_padding = Duration.from_secs_f32(np.float32(0.5))
+            got = comp.find_best_match(matches)
+            want_o, want_e = scalar_reference(comp, matches)
+            assert got.opening == want_o, (thr, trial)
+            assert got.ending == want_e, (thr, trial)
