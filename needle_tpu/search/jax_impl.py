@@ -244,6 +244,33 @@ def _batch_tiles_indexed(table, vtab, ia_b, ib_b, lm_b, threshold, n_pad):
     return jax.vmap(one)(ia_b, ib_b, lm_b)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_flags(out_u8, cap):
+    """Flagged-diagonal compaction ON DEVICE: the packed count bitmask is
+    ~640 B/pair (n_pad-dependent) and a dense 500k-pair scan downloads
+    ~320 MB of it — tens of seconds on this transport's frequent
+    <25 MB/s d2h eras, even though only ~1-6 bits per pair are set.
+    Returns (idx, total): flat bit positions of set bits (row-major over
+    the chunk, identical order to the host unpack), -1-filled past
+    `total`, plus the true count so the host can fall back to the full
+    bitmask for pathological chunks (total > cap)."""
+    bits = (out_u8[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    flat = bits.reshape(-1)
+    total = jnp.sum(flat, dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+    return idx.astype(jnp.int32), total
+
+
+def _compact_cap(chunk: int) -> int:
+    """Index capacity per chunk: ~16 flagged diagonals per pair (dense
+    synthetic libraries flag ~1/pair, the season ~4/pair), min 4096."""
+    import os
+
+    return int(
+        os.environ.get("NEEDLE_TPU_COMPACT_CAP", str(max(4096, 16 * chunk)))
+    )
+
+
 # Max candidates extracted per flagged diagonal by the device pass; a
 # diagonal with more run-ends (pathological self-similarity) falls back to
 # the host rescan. Real flagged diagonals carry 1-2 ends.
@@ -596,6 +623,13 @@ class JaxSearchEngine:
         while pow2 < len(work) and pow2 < chunk:
             pow2 *= 2
         chunk = min(chunk, pow2)
+        # flagged-diagonal compaction cap (0 = disabled, full-bitmask d2h)
+        compact_cap = (
+            _compact_cap(chunk)
+            if _os.environ.get("NEEDLE_TPU_COMPACT_FLAGS", "1") != "0"
+            else 0
+        )
+        cap = compact_cap
 
         pair_lm: Dict[int, int] = {}
         d_base = -(n_pad - 1)
@@ -735,7 +769,15 @@ class JaxSearchEngine:
                     threshold,
                     n_pad,
                 )
-            launched.append((c0, len(batch), out))
+            # flagged-diagonal compaction: the (chunk, nbytes) bitmask is
+            # ~640 B/pair but carries ~1-6 set bits per pair; downloading
+            # flat bit INDICES instead shrinks the dense scan's d2h from
+            # ~320 MB to ~30 MB (this transport's d2h is frequently the
+            # worse direction — 3-25 MB/s eras)
+            compacted = (
+                _compact_flags(out, cap) if compact_cap else None
+            )
+            launched.append((c0, len(batch), out, compacted))
 
         launch_span.__exit__(None, None, None)
 
@@ -743,55 +785,70 @@ class JaxSearchEngine:
             "search.collect", side="opening" if is_opening else "ending"
         )
         collect_span.__enter__()
-        # Coalesce chunk outputs on device and download ONE u8 count matrix
-        # — tunneled transports charge per round trip, so per-chunk
+        # Coalesce chunk outputs and download them in ONE transfer per
+        # group — tunneled transports charge per round trip, so per-chunk
         # downloads dominate wall time for large pair counts.
         import time as _time
 
         from ..tracing import metrics as _metrics
 
         # Coalesce in GROUPS of chunks rather than one monolith: each
-        # group download is still far above the per-roundtrip fixed cost
-        # (~64 x 1024 pairs x ~640 B of bitmask ≈ 40 MB, inside the
-        # transfer sweet spot), but the download completing per group (a)
-        # records a progress heartbeat the bench watchdog can see — one
-        # all-chunk np.asarray was a single unkickable window that could
-        # legitimately run 20+ min on a slumped era — and (b) keeps any
-        # single d2h well under the large-transfer collapse regime.
+        # group download is still far above the per-roundtrip fixed cost,
+        # but the download completing per group (a) records a progress
+        # heartbeat the bench watchdog can see — one all-chunk np.asarray
+        # was a single unkickable window that could legitimately run
+        # 20+ min on a slumped era — and (b) keeps any single d2h well
+        # under the large-transfer collapse regime.
         group = int(_os.environ.get("NEEDLE_TPU_COLLECT_GROUP", "64"))
-        parts = []
         _t0 = _time.perf_counter()
-        for g0 in range(0, len(launched), group):
-            outs = [o for _, _, o in launched[g0 : g0 + group]]
-            _tg = _time.perf_counter()
-            parts.append(
-                np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
-            )
-            _metrics.record(
-                "search.collect_device_group", _time.perf_counter() - _tg
-            )
-        if parts:
-            counts_all = np.concatenate(parts) if len(parts) > 1 else parts[0]
-        else:  # every pair prefilter-skipped: nothing was launched
-            counts_all = np.zeros((0, 1), np.uint8)
+        if compact_cap:
+            # download (idx, total) per chunk, coalesced per group
+            idx_tot = []
+            for g0 in range(0, len(launched), group):
+                _tg = _time.perf_counter()
+                idx_tot.extend(
+                    jax.device_get(
+                        [ct for _, _, _, ct in launched[g0 : g0 + group]]
+                    )
+                )
+                _metrics.record(
+                    "search.collect_device_group",
+                    _time.perf_counter() - _tg,
+                )
+            counts_all = None
+        else:
+            parts = []
+            for g0 in range(0, len(launched), group):
+                outs = [o for _, _, o, _ in launched[g0 : g0 + group]]
+                _tg = _time.perf_counter()
+                parts.append(
+                    np.asarray(
+                        jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+                    )
+                )
+                _metrics.record(
+                    "search.collect_device_group", _time.perf_counter() - _tg
+                )
+            if parts:
+                counts_all = (
+                    np.concatenate(parts) if len(parts) > 1 else parts[0]
+                )
+            else:  # every pair prefilter-skipped: nothing was launched
+                counts_all = np.zeros((0, 1), np.uint8)
         _metrics.record(
             "search.collect_device", _time.perf_counter() - _t0
-        )  # device execute + concat + d2h of the coalesced bitmask
+        )  # device execute + concat + d2h of the coalesced flags
         _t0 = _time.perf_counter()
         row0 = 0
+        n_overflow = 0
         rows_parts: List[np.ndarray] = []  # global work-row index per item
         offs_parts: List[np.ndarray] = []  # diagonal offset per item
-        for c0, n_batch, out in launched:
-            # out.shape[0] can exceed `chunk` when shard_batch padded the
-            # lane axis to the mesh device count; advance by the REAL row
-            # count or every later chunk reads misaligned rows.
-            counts = counts_all[row0 : row0 + out.shape[0]]
-            row0 += out.shape[0]
+
+        def unpack_bitmask(a8, c0):
             # Sparse bit expansion: nonzero BYTES first, then expand only
             # those. unpackbits materialized the full (chunk, n_diag) bit
             # matrix — ~2.6 GB of host traffic and ~12 s at 500k dense
             # pairs vs ~2 s this way (identical row-major item order).
-            a8 = counts[:n_batch]
             rb, cb = np.nonzero(a8)
             v = a8[rb, cb]
             bitmat = (v[:, None] >> np.arange(8, dtype=np.uint8)) & 1
@@ -799,6 +856,35 @@ class JaxSearchEngine:
             rows_parts.append(rb[sub_r].astype(np.int64) + c0)
             offs_parts.append(
                 (cb[sub_r].astype(np.int64) * 8 + sub_k) + d_base
+            )
+
+        for k, (c0, n_batch, out, _ct) in enumerate(launched):
+            if compact_cap:
+                idx, total = idx_tot[k]
+                if int(total) > len(idx):
+                    # pathological chunk: more flags than the index cap —
+                    # fall back to this chunk's full bitmask (rare; the
+                    # device ref is still alive)
+                    n_overflow += 1
+                    unpack_bitmask(np.asarray(out)[:n_batch], c0)
+                    continue
+                idx = idx[: int(total)].astype(np.int64)
+                n_bits_row = out.shape[1] * 8
+                rows = idx // n_bits_row
+                # padded lanes (shard_batch) produce no flags; rows are
+                # guaranteed < n_batch by the padding lm/mask guards
+                rows_parts.append(rows + c0)
+                offs_parts.append((idx % n_bits_row) + d_base)
+            else:
+                # out.shape[0] can exceed `chunk` when shard_batch padded
+                # the lane axis to the mesh device count; advance by the
+                # REAL row count or every later chunk reads misaligned rows.
+                counts = counts_all[row0 : row0 + out.shape[0]]
+                row0 += out.shape[0]
+                unpack_bitmask(counts[:n_batch], c0)
+        if n_overflow:
+            _metrics.record(
+                "search.collect_compact_overflow", float(n_overflow)
             )
         item_rows = (
             np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)

@@ -86,3 +86,45 @@ def test_constant_hashes_multiple_runs_per_diagonal():
 def test_tiny_and_empty_sequences():
     fhs = [_fh(np.zeros(1, np.uint32)), _fh(np.zeros(5, np.uint32))]
     assert _run(fhs, 5, 1, "jax") == _run(fhs, 5, 1, "numpy")
+
+
+def test_compaction_on_off_and_overflow_agree(rng, monkeypatch):
+    """Flagged-diagonal compaction (download bit indices instead of the
+    full count bitmask) must produce identical results with compaction
+    off, on, and with a tiny cap that forces the per-chunk full-bitmask
+    overflow fallback (identical episodes flag EVERY diagonal)."""
+    shared = rng.integers(0, 2**32, size=80, dtype=np.uint32)
+    fhs = []
+    for e in range(4):
+        h = rng.integers(0, 2**32, size=300, dtype=np.uint32)
+        h[10:90] = shared
+        fhs.append(_fh(h))
+    # two identical episodes: every diagonal cell of their pair matches,
+    # flooding the flag bitmask (worst case for the index cap)
+    const = _fh(np.full(300, 0x12345678, np.uint32))
+    fhs.extend([const, const])
+
+    from needle_tpu.tracing import metrics
+
+    outs = []
+    for flags_env, cap_env in (("0", None), ("1", None), ("1", "64")):
+        monkeypatch.setenv("NEEDLE_TPU_COMPACT_FLAGS", flags_env)
+        if cap_env is None:
+            monkeypatch.delenv("NEEDLE_TPU_COMPACT_CAP", raising=False)
+        else:
+            monkeypatch.setenv("NEEDLE_TPU_COMPACT_CAP", cap_env)
+        before = metrics.snapshot().get(
+            "search.collect_compact_overflow", (0.0, 0)
+        )[0]
+        outs.append(_run(fhs, 10, 5, "jax"))
+        overflowed = (
+            metrics.snapshot().get(
+                "search.collect_compact_overflow", (0.0, 0)
+            )[0]
+            - before
+        )
+        if cap_env is not None:
+            # the tiny cap must actually exercise the fallback
+            assert overflowed >= 1, "overflow fallback never fired"
+    assert outs[0] == outs[1] == outs[2]
+    assert any(o is not None for o in outs[0])
