@@ -119,10 +119,10 @@ def probe_once() -> None:
 # any modest-but-healthy era (a recorded line beats no line), later ones
 # only on wires fast enough to plausibly beat the best so far.
 FULL_BARS = [38.0, 65.0, 90.0, 110.0, 110.0, 110.0]
-# d2h bars: the dense walk's collect stage is d2h-bound. First attempt on
-# any live era (the band prefilter postdates the last recorded search1000
-# line, so even a slow-era run improves the record), later ones need wire.
-DENSE_BARS = [25.0, 60.0, 80.0]
+# d2h bars: since flagged-diagonal compaction the dense scan downloads
+# ~80 MB total (indices + extract slots) instead of ~320 MB of bitmask —
+# collect is device-bound, so even modest d2h eras can set a record.
+DENSE_BARS = [10.0, 25.0, 45.0]
 # ~430 MB go over the wire with host-placed decimation; anything below
 # ~4 s of the wall is compute/decode, so an era can only beat `best` if
 # bytes / h2d < best - 4.
