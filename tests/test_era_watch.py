@@ -106,4 +106,6 @@ def test_dense_fires_when_full_is_on_cooldown():
 
 def test_dense_needs_d2h_not_just_h2d():
     s = fresh_state(last_full=NOW - 60)
-    assert decide(s, probe(h2d=200.0, d2h=10.0), NOW, DEADLINE) is None
+    assert decide(
+        s, probe(h2d=200.0, d2h=DENSE_BARS[0] - 1), NOW, DEADLINE
+    ) is None
