@@ -17,6 +17,7 @@ and replicate the reference exactly:
 
 from __future__ import annotations
 
+import operator as _op
 import os
 from dataclasses import dataclass
 from pathlib import Path
@@ -107,6 +108,18 @@ def _get_jax_engine():
     from .search.jax_impl import JaxSearchEngine
 
     return JaxSearchEngine()
+
+
+# Attribute getters for find_best_match's candidate build: the per-entry
+# src/dst branch is fixed per match, so bind the accessors once per group
+# instead of re-testing is_source for every entry (~2000 entries funnel
+# into each episode's vote on dense libraries).
+_SRC_RUN = _op.attrgetter("src_longest_run")
+_SRC_HD = _op.attrgetter("src_hash_duration")
+_SRC_MH = _op.attrgetter("src_match_hash")
+_DST_RUN = _op.attrgetter("dst_longest_run")
+_DST_HD = _op.attrgetter("dst_hash_duration")
+_DST_MH = _op.attrgetter("dst_match_hash")
 
 
 class Comparator:
@@ -281,24 +294,16 @@ class Comparator:
         for m, is_source in matches:
             if is_source:
                 groups = ((m.src_openings, True), (m.src_endings, False))
+                run_of = _SRC_RUN, _SRC_HD, _SRC_MH
             else:
                 groups = ((m.dst_openings, True), (m.dst_endings, False))
+                run_of = _DST_RUN, _DST_HD, _DST_MH
+            get_run, get_hd, get_mh = run_of
             for entries, is_opening in groups:
                 for e in entries:
-                    if is_source:
-                        run, hd, mh = (
-                            e.src_longest_run,
-                            e.src_hash_duration,
-                            e.src_match_hash,
-                        )
-                    else:
-                        run, hd, mh = (
-                            e.dst_longest_run,
-                            e.dst_hash_duration,
-                            e.dst_match_hash,
-                        )
-                    candidates.append((run, hd))
-                    sims_l.append(mh)
+                    run = get_run(e)
+                    candidates.append((run, get_hd(e)))
+                    sims_l.append(get_mh(e))
                     # run end >= start always (they delimit a found run),
                     # so plain int math matches Duration.__sub__ here
                     durs_l.append(run[1]._nanos - run[0]._nanos)

@@ -183,8 +183,14 @@ def _adopt_native_i16(buf, n: int) -> np.ndarray:
     if n <= 0:
         lib.ni_free(buf)
         return np.zeros(0, np.int16)
-    arr = np.ctypeslib.as_array(buf, shape=(n,))
-    weakref.finalize(arr, lib.ni_free, ctypes.cast(buf, ctypes.c_void_p))
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(n,))
+        weakref.finalize(arr, lib.ni_free, ctypes.cast(buf, ctypes.c_void_p))
+    except BaseException:
+        # adoption failed between native return and finalizer registration
+        # (e.g. MemoryError): free here or the PCM buffer leaks
+        lib.ni_free(buf)
+        raise
     return arr
 
 

@@ -458,7 +458,7 @@ class JaxSearchEngine:
 
     def _entries_batch(
         self, results, cand_row, cand_i, cand_j, cand_L,
-        w_pidx, w_sa, w_sb, a_arr, b_arr, ep_ids, sides,
+        w_pidx, w_sa, w_sb, w_a, w_b, ep_ids, sides,
         hash_durations, is_opening, min_dur_ns, n_pad, e_pad,
     ) -> None:
         """Library-wide vectorization of `_entries_from_candidates` (the
@@ -537,8 +537,8 @@ class JaxSearchEngine:
         for g in range(len(g0)):
             s0, s1 = int(gb[g]), int(gb[g + 1])
             r = row_l[s0]
-            src_hd = hash_durations[a_arr[r]]
-            dst_hd = hash_durations[b_arr[r]]
+            src_hd = hash_durations[w_a[r]]
+            dst_hd = hash_durations[w_b[r]]
             entries, keys = [], []
             for k in range(s0, s1):
                 ss, se = ss_l[k], se_l[k]
@@ -673,13 +673,16 @@ class JaxSearchEngine:
         # kernels, and its minimum over the work list sizes the pair
         # prefilter's block width. Array math over the work list (the
         # per-pair Python loop was ~1 s at 500k pairs).
-        a_arr = np.fromiter((a for _, a, _ in work), np.int64, len(work))
-        b_arr = np.fromiter((b for _, _, b in work), np.int64, len(work))
+        # pre-prefilter arrays: valid ONLY against this work list (the
+        # prefilter compacts `work` below; everything consumed after it is
+        # rebuilt as w_* from the kept list)
+        pre_a = np.fromiter((a for _, a, _ in work), np.int64, len(work))
+        pre_b = np.fromiter((b for _, _, b in work), np.int64, len(work))
         ceil_ep = np.ones(len(sides), np.int64)
         for e in ep_ids:
             ceil_ep[e] = -(-min_dur_ns // sides[e].max_spacing)
         lm_w = np.minimum(
-            np.maximum(ceil_ep[a_arr], ceil_ep[b_arr]),
+            np.maximum(ceil_ep[pre_a], ceil_ep[pre_b]),
             np.iinfo(np.int32).max,
         )
         pair_lm = dict(zip((p for p, _, _ in work), lm_w.tolist()))
@@ -725,6 +728,8 @@ class JaxSearchEngine:
         # extract at 500k dense pairs).
         n_work = len(work)
         w_pidx = np.fromiter((p for p, _, _ in work), np.int64, n_work)
+        w_a = np.fromiter((a for _, a, _ in work), np.int64, n_work)
+        w_b = np.fromiter((b for _, _, b in work), np.int64, n_work)
         w_sa = np.fromiter((ep_slot[a] for _, a, _ in work), np.int32, n_work)
         w_sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, n_work)
         w_lm = np.fromiter((pair_lm[p] for p, _, _ in work), np.int32, n_work)
@@ -902,7 +907,7 @@ class JaxSearchEngine:
         with span("search.entries", cands=len(cand_row)):
             self._entries_batch(
                 results, cand_row, cand_i, cand_j, cand_L,
-                w_pidx, w_sa, w_sb, a_arr, b_arr, ep_ids, sides,
+                w_pidx, w_sa, w_sb, w_a, w_b, ep_ids, sides,
                 hash_durations, is_opening, min_dur_ns, n_pad, e_pad,
             )
         return results

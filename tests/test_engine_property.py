@@ -128,3 +128,27 @@ def test_compaction_on_off_and_overflow_agree(rng, monkeypatch):
             assert overflowed >= 1, "overflow fallback never fired"
     assert outs[0] == outs[1] == outs[2]
     assert any(o is not None for o in outs[0])
+
+
+def test_prefilter_skips_do_not_misalign_hash_durations(rng, monkeypatch):
+    """Regression (r4 review): _entries_batch consumed episode-id arrays
+    built from the PRE-prefilter work list, so any prefilter-skipped pair
+    shifted every later pair onto the WRONG episodes' hash durations —
+    latent while all files share one hash duration, wrong end times when
+    they differ. Episode 0 is noise (its pairs are prefilter-skipped, so
+    the surviving pair's work-row index differs from its original
+    position) and carries a different hash duration."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    shared = rng.integers(0, 2**32, size=80, dtype=np.uint32)
+    h1 = rng.integers(0, 2**32, size=300, dtype=np.uint32)
+    h2 = rng.integers(0, 2**32, size=300, dtype=np.uint32)
+    h1[40:120] = shared
+    h2[90:170] = shared
+    fhs = [
+        _fh(rng.integers(0, 2**32, size=300, dtype=np.uint32), hash_ms=300),
+        _fh(h1, hash_ms=500),
+        _fh(h2, hash_ms=500),
+    ]
+    got = _run(fhs, 10, 5, "jax")
+    want = _run(fhs, 10, 5, "numpy")
+    assert got == want

@@ -188,8 +188,22 @@ def watch(args: argparse.Namespace) -> None:
     deadline = time.time() + args.budget_s
 
     # A bench_running.flag left behind by a killed session would deadlock
-    # outside tooling forever; no bench subprocess survives its parent here
-    # (subprocess.run in-process), so at startup the flag is always stale.
+    # outside tooling forever — but a SIGKILLed watcher can ORPHAN its
+    # bench.py child (re-parented to init, still chewing the 1 CPU core +
+    # device), so the flag carries the child PID: wait for a live orphan
+    # to finish (bounded) before clearing.
+    if running.exists():
+        try:
+            orphan = int(running.read_text().split()[-1])
+        except (ValueError, OSError, IndexError):
+            orphan = -1
+        wait_until = time.time() + 1800
+        while (
+            orphan > 0
+            and Path(f"/proc/{orphan}").exists()
+            and time.time() < wait_until
+        ):
+            time.sleep(30)
     try:
         running.unlink()
     except OSError:
@@ -248,18 +262,26 @@ def watch(args: argparse.Namespace) -> None:
         # log the START too: a bench killed with the session (r4: one full
         # attempt died mid-run leaving only a warmup line) stays visible.
         log({"bench_start": config or "full", "out": str(outpath)})
-        running.write_text(config or "full")
         try:
             with open(outpath, "w") as f:
-                subprocess.run(
+                proc = subprocess.Popen(
                     [sys.executable, str(REPO / "bench.py")],
                     stdout=f,
                     stderr=subprocess.STDOUT,
-                    timeout=timeout_s,
                     cwd=str(REPO),
                     env=env,
                 )
+                # flag carries the child PID so a restarted watcher can
+                # detect (and wait out) an orphaned bench
+                running.write_text(f"{config or 'full'} {proc.pid}")
+                proc.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
+            # killing mid-TPU-work leaks device claims (CLAUDE.md), which
+            # inflates the NEXT process's warm stall — measured by the next
+            # probe's warm_s, and the caller adds extra cooldown on no-value
+            # runs so claims can clear
+            proc.kill()
+            proc.wait()
             with open(outpath, "a") as f:
                 f.write('\n{"driver_note": "timeout"}\n')
         finally:
@@ -302,8 +324,11 @@ def watch(args: argparse.Namespace) -> None:
             save_state()
             v = run_bench("", 1500, gate_env)
             # a no-value run (timeout, dead transport, killed) doesn't
-            # consume a bandwidth tier — the era, not the tiering, failed
+            # consume a bandwidth tier — the era, not the tiering, failed —
+            # but gets EXTRA cooldown so leaked device claims can clear
             state["fired_full" if v is not None else "failed_full"] += 1
+            if v is None:
+                state["last_full"] = time.time() + 900
             if v is not None and (state["best_full"] is None or v < state["best_full"]):
                 state["best_full"] = v
             save_state()
@@ -312,6 +337,8 @@ def watch(args: argparse.Namespace) -> None:
             save_state()
             v = run_bench("search1000", 1200, gate_env)
             state["fired_dense" if v is not None else "failed_dense"] += 1
+            if v is None:
+                state["last_dense"] = time.time() + 900
             if v is not None and (
                 state["best_dense"] is None or v < state["best_dense"]
             ):
