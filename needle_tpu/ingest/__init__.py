@@ -176,7 +176,19 @@ def _adopt_native_i16(buf, n: int) -> np.ndarray:
     copying; ni_free runs when the array (and every view of it) is
     garbage-collected. The memcpy this replaces measured ~20% of the
     half-band decimator's wall on the 1-core host (r4: 280 -> 349 Msamp/s
-    wrapper throughput together with the kernel's odd-only deinterleave)."""
+    wrapper throughput together with the kernel's odd-only deinterleave).
+
+    OWNERSHIP CONTRACT (ADVICE r4 #3): the returned array OWNS the native
+    buffer through numpy's base-chaining — slices, reshapes, and any view
+    keep the wrapper (and therefore the finalizer) alive, so ordinary
+    ndarray use is safe (covered by test_ingest lifetime tests, including
+    views outliving the parent). What is NOT safe is extracting the raw
+    address and letting every array object die: `arr.ctypes.data`,
+    `arr.__array_interface__["data"]`, or a ctypes pointer cast dangles
+    once the last referencing ndarray is collected. Consumers that need
+    the buffer beyond ndarray lifetime must .copy(). All in-repo
+    consumers (fingerprint pipelines, device_put staging) hold the array
+    itself."""
     import weakref
 
     lib = load_native()
@@ -239,7 +251,10 @@ def decode_audio(
     """Decode the best audio stream to S16 interleaved stereo PCM.
 
     Returns (interleaved int16 array, stream_duration_secs), mirroring the
-    reference's process_frames decode path (analyzer.rs:156-284).
+    reference's process_frames decode path (analyzer.rs:156-284). The
+    array adopts a native buffer zero-copy — see `_adopt_native_i16`'s
+    ownership contract (keep the ndarray alive; don't detach raw
+    pointers).
     """
     lib = load_native()
     buf = ctypes.POINTER(ctypes.c_int16)()
@@ -279,7 +294,8 @@ def resample_pcm_to_stereo(
 ) -> np.ndarray:
     """Resample arbitrary PCM (int16 or float32, interleaved) to S16
     interleaved stereo via swresample — the same resampler family the
-    reference's decode chain uses."""
+    reference's decode chain uses. Returns a zero-copy adoption of a
+    native buffer (`_adopt_native_i16` ownership contract applies)."""
     pcm = np.ascontiguousarray(pcm)
     if pcm.dtype == np.int16:
         fmt = 0
@@ -436,7 +452,9 @@ def decimate_i16(
     integer arithmetic; ~20x faster than scipy's float FIR on this host).
     `taps_q14` is an odd-length int32 Q14 tap vector centered on the
     output sample (group delay pre-compensated). Output sample k is the
-    dot product centered at input frame k*factor, zeros outside."""
+    dot product centered at input frame k*factor, zeros outside. Returns
+    a zero-copy adoption of a native buffer (`_adopt_native_i16`
+    ownership contract applies)."""
     pcm = np.ascontiguousarray(pcm, dtype=np.int16)
     taps = np.ascontiguousarray(taps_q14, dtype=np.int32)
     lib = load_native()
@@ -465,7 +483,9 @@ def decimate2_hb(
 ) -> np.ndarray:
     """Factor-2 half-band decimation via the native layer (see
     fingerprint.decimate._halfband_q14 for the design). Deterministic
-    integer arithmetic; ~n_odd+1 multiplies per output sample."""
+    integer arithmetic; ~n_odd+1 multiplies per output sample. Returns
+    a zero-copy adoption of a native buffer (`_adopt_native_i16`
+    ownership contract applies)."""
     pcm = np.ascontiguousarray(pcm, dtype=np.int16)
     taps = np.ascontiguousarray(odd_taps_q14, dtype=np.int32)
     lib = load_native()

@@ -713,6 +713,17 @@ class JaxSearchEngine:
                     table_d, vtab_d, work, ep_slot,
                     lambda p: pair_lm[p], threshold, n_pad, g_tiles,
                 )
+                if band_masks is None:
+                    # band masks inapplicable (e.g. n_blocks > 31 on very
+                    # long buckets, where a 31-bit i32 mask can't cover
+                    # the blocks) — keep at least the pair-level skip the
+                    # pallas path had before bands (ADVICE r4 #2).
+                    # prefilter_pairs re-checks the plan, so when the
+                    # prefilter is off entirely this is a cheap no-op.
+                    work, n_skipped, _pf_w = prefilter_pairs(
+                        table_d, vtab_d, work, ep_slot,
+                        lambda p: pair_lm[p], threshold, n_pad,
+                    )
             else:
                 work, n_skipped, _pf_w = prefilter_pairs(
                     table_d, vtab_d, work, ep_slot,

@@ -204,7 +204,12 @@ def _kernel(
             )
             return zero_i, zero_i, cand
 
-        allowed = ((bm >> b) & 1) == 1
+        # clamp the shift: for n_pad >= 16384, b can exceed 31 and an
+        # int32 shift by >= 32 is implementation-defined in XLA. Masks
+        # with n_blocks > 31 never reach this kernel (prefilter falls
+        # back to the pair-level skip), so any such block carries the
+        # all-ones mask and bit 31 (sign-filled) reads 1 — allowed.
+        allowed = ((bm >> jnp.minimum(b, 31)) & 1) == 1
         return jax.lax.cond(
             (b >= b_lo) & (b < b_hi) & allowed, run_blk, flush_blk, carry
         )

@@ -322,6 +322,65 @@ def test_band_mask_zero_pair_is_dropped(rng, monkeypatch):
     assert kept == [] and n_skipped == 1 and len(masks) == 0
 
 
+def test_band_masks_long_bucket_returns_none(rng, monkeypatch):
+    """Buckets with n_blocks > 31 can't be covered by an i32 bitmask:
+    prefilter_band_masks must bail out (returning the untouched work
+    list) BEFORE any device work (ADVICE r4 #2)."""
+    from needle_tpu.search.pallas_impl import D_TILE
+
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    n_pad = 32 * D_TILE  # n_blocks = 33 > 31
+    table = rng.integers(0, 2**32, size=(2, n_pad), dtype=np.uint32)
+    vtab = np.ones((2, n_pad), bool)
+    vtab[:, 0] = False
+    work = [(0, 0, 1)]
+    kept, masks, n_skipped, w = pf.prefilter_band_masks(
+        table, vtab, work, {0: 0, 1: 1}, lambda p: 81, 10, n_pad, 8
+    )
+    assert kept == work and masks is None and n_skipped == 0 and w is None
+
+
+def test_pallas_path_falls_back_to_pair_prefilter(rng, monkeypatch):
+    """When band masks are inapplicable (simulating the n_blocks > 31
+    long-bucket case), the pallas path must still run the pair-level
+    skip (ADVICE r4 #2): cross-show pairs get skipped and results stay
+    identical to the numpy engine."""
+    from needle_tpu import Comparator
+    from needle_tpu.duration import Duration
+    from needle_tpu.search import jax_impl as S
+    from needle_tpu.tracing import metrics
+
+    monkeypatch.setattr(S, "_KERNEL", "pallas")
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    # simulate the inapplicable-band condition regardless of n_pad
+    monkeypatch.setattr(
+        pf,
+        "prefilter_band_masks",
+        lambda table_d, vtab_d, work, *a, **k: (work, None, 0, None),
+    )
+
+    shared_a = rng.integers(0, 2**32, size=120, dtype=np.uint32)
+    shared_b = rng.integers(0, 2**32, size=120, dtype=np.uint32)
+    fhs = []
+    for show, shared in ((0, shared_a), (1, shared_b)):
+        for e in range(2):
+            h = rng.integers(0, 2**32, size=400, dtype=np.uint32)
+            at = 30 + 40 * e
+            h[at : at + 120] = shared
+            fhs.append(_fh(h))
+
+    before = metrics.snapshot().get("search.prefilter_skipped", (0.0,))[0]
+    got = _run(fhs, 10, 20, "jax")
+    skipped = (
+        metrics.snapshot().get("search.prefilter_skipped", (0.0,))[0]
+        - before
+    )
+    assert got == _run(fhs, 10, 20, "numpy")
+    # the 4 cross-show pairs are skippable by the pair-level fallback
+    assert skipped >= 2, f"pair-level fallback skipped only {skipped}"
+    assert got[0] is not None
+
+
 def test_engine_band_prefilter_matches_numpy(rng, monkeypatch):
     """Full engine with pallas kernel + band prefilter FORCED on must match
     the reference-exact numpy engine on a mixed library."""
