@@ -279,7 +279,7 @@ K_CANDS = 8
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
 def _batch_extract_candidates(
-    table, vtab, ia_b, ib_b, off_b, lm_b, threshold, n_pad
+    table, vtab, tpad, vpad, ia_b, ib_b, off_b, lm_b, threshold, n_pad
 ):
     """Device extraction of run-end candidates for flagged diagonals.
 
@@ -291,28 +291,29 @@ def _batch_extract_candidates(
     is exact: a shorter run spans < l_min * max_spacing <= min_duration
     of real time, so the later timestamp filter would drop it anyway.
     Replaces the host per-diagonal rescan that cost ~18% of wall at
-    1000-episode scale (67 s of numpy over 500k diagonals)."""
+    1000-episode scale (67 s of numpy over 500k diagonals).
+
+    `tpad`/`vpad` are the zero-padded table (e_pad, 3*n_pad) built ONCE
+    per side (see `_pad_tables`): r3's per-item
+    `concatenate(zeros, hd, zeros)` materialized (items, 3*n_pad) u32 +
+    bool per chunk — ~4x the useful bytes — and was the extract stage's
+    dominant HBM traffic at 500k flagged diagonals (r5 interleaved A/B:
+    see STATUS). The shared-table dynamic_slice reads only the n_pad
+    window of the ONE row it needs."""
 
     def one(ia, ib, off, lm):
-        hs, hd = table[ia], table[ib]
-        vs, vd = vtab[ia], vtab[ib]
+        hs, vs = table[ia], vtab[ia]
         idx = jnp.arange(n_pad, dtype=jnp.int32)
-        j = idx + off
         # The diagonal read hd[idx + off] is a SHIFTED SLICE, not a general
-        # gather: zero-pad and dynamic_slice at n_pad + off. The gather
+        # gather: dynamic_slice the pre-padded row at n_pad + off (start is
+        # always in-bounds: off in [-(n_pad-1), n_pad-1]). The gather
         # formulation scalarized on TPU and was the ENTIRE extract-stage
         # cost (isolated r3: 242 ms/dispatch with the gather alone vs the
         # full scan pipeline at the same 242 ms). Out-of-range j reads the
         # zero padding, whose False validity reproduces the old
         # vd[jc] & (j == jc) masking exactly.
-        hdp = jnp.concatenate(
-            [jnp.zeros(n_pad, jnp.uint32), hd, jnp.zeros(n_pad, jnp.uint32)]
-        )
-        vdp = jnp.concatenate(
-            [jnp.zeros(n_pad, bool), vd, jnp.zeros(n_pad, bool)]
-        )
-        hd_s = jax.lax.dynamic_slice(hdp, (n_pad + off,), (n_pad,))
-        vd_s = jax.lax.dynamic_slice(vdp, (n_pad + off,), (n_pad,))
+        hd_s = jax.lax.dynamic_slice(tpad, (ib, n_pad + off), (1, n_pad))[0]
+        vd_s = jax.lax.dynamic_slice(vpad, (ib, n_pad + off), (1, n_pad))[0]
         S = (_popcount_u32_jnp(hs ^ hd_s) <= threshold) & vs & vd_s
         c = jnp.cumsum(S.astype(jnp.int32))
         z = jnp.where(S, 0, c)
@@ -331,6 +332,17 @@ def _batch_extract_candidates(
         return end_i, runs, jnp.sum(ends.astype(jnp.int32))
 
     return jax.vmap(one)(ia_b, ib_b, off_b, lm_b)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _pad_tables(table, vtab, n_pad):
+    """Zero-padded (e_pad, 3*n_pad) episode table + validity for the
+    extract kernel's shifted-slice reads — one device op per side
+    (~30 MB at the 1000-episode scale), replacing a per-item pad."""
+    return (
+        jnp.pad(table, ((0, 0), (n_pad, n_pad))),
+        jnp.pad(vtab, ((0, 0), (n_pad, n_pad))),
+    )
 
 
 def _diag_candidates(
@@ -972,6 +984,7 @@ class JaxSearchEngine:
                 host_diag(row, off)
             host_diags = n_items
         else:
+            tpad_d, vpad_d = _pad_tables(table_d, vtab_d, n_pad)
             CH = 4096
             launched = []
             for c0 in range(0, n_items, CH):
@@ -991,9 +1004,10 @@ class JaxSearchEngine:
                         rows_blk,
                         offs_blk,
                         _batch_extract_candidates(
-                            table_d, vtab_d, jnp.asarray(ia),
-                            jnp.asarray(ib), jnp.asarray(off_a),
-                            jnp.asarray(lm_a), threshold, n_pad,
+                            table_d, vtab_d, tpad_d, vpad_d,
+                            jnp.asarray(ia), jnp.asarray(ib),
+                            jnp.asarray(off_a), jnp.asarray(lm_a),
+                            threshold, n_pad,
                         ),
                     )
                 )

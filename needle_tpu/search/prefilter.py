@@ -139,6 +139,21 @@ def keep_bound(w: int, threshold: int) -> float:
     return w * (32 - 2 * threshold) - 0.5
 
 
+def _member_matrix(w: int, n_pad: int, n_blocks: int) -> np.ndarray:
+    """Static (nb, n_blocks) membership: kernel row blocks intersected by
+    the qualifying-run margin [bW - W + 1, bW + 2W) of src block b
+    (<= 2 blocks: 3W - 1 <= 191 < D_TILE; block B covers rows
+    [B*D_TILE - 1, (B+1)*D_TILE - 1), see pallas_impl)."""
+    nb = n_pad // w
+    b_arr = np.arange(nb, dtype=np.int64)
+    blo = np.clip((b_arr * w - w + 2) // D_TILE, 0, n_blocks - 1)
+    bhi = np.clip((b_arr * w + 2 * w) // D_TILE, 0, n_blocks - 1)
+    member = np.zeros((nb, n_blocks), np.int32)
+    member[b_arr, blo] = 1
+    member[b_arr, bhi] = 1
+    return member
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("w", "threshold", "n_pad", "gd", "n_groups", "n_blocks"),
@@ -187,15 +202,7 @@ def _chunk_band_masks(
 
     acc0 = jnp.zeros((chunk, nb, n_groups), bool)
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(w))
-    # Static membership (trace-time numpy): kernel row blocks intersected
-    # by [bW - W + 1, bW + 2W) (<= 2 blocks: 3W - 1 <= 191 < D_TILE; block
-    # B covers rows [B*D_TILE - 1, (B+1)*D_TILE - 1), see pallas_impl).
-    b_arr = np.arange(nb, dtype=np.int64)
-    blo = np.clip((b_arr * w - w + 2) // D_TILE, 0, n_blocks - 1)
-    bhi = np.clip((b_arr * w + 2 * w) // D_TILE, 0, n_blocks - 1)
-    member = np.zeros((nb, n_blocks), np.int32)
-    member[b_arr, blo] = 1
-    member[b_arr, bhi] = 1
+    member = _member_matrix(w, n_pad, n_blocks)
     hit = (
         jnp.einsum("cbg,bk->ckg", acc.astype(jnp.int32), jnp.asarray(member))
         > 0
@@ -207,6 +214,116 @@ def _chunk_band_masks(
         axis=1,
         dtype=jnp.int32,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "w", "threshold", "n_pad", "gd", "n_groups", "n_blocks", "ta", "tb"
+    ),
+)
+def _tile_band_masks(
+    exp_tab, a0, b0, w, threshold, n_pad, gd, n_groups, n_blocks, ta, tb
+):
+    """Episode-factorized band masks (VERDICT r4 next #2): one (ta, tb)
+    episode-tile rectangle of the pair space per dispatch.
+
+    `_chunk_band_masks` gathers a (chunk, n_pad, 32) operand PER PAIR —
+    the measured limiter of the ~20 s prefilter pass on dense-1000 (the
+    r4 chunk probe showed 256 beating 512/1024 purely on gather working
+    set; the scan ran at ~11 TFLOP/s). But every pair draws from the same
+    episode table, so the +/-1 block features are pair-INDEPENDENT: this
+    kernel slices two episode TILES once and correlates all ta*tb pair
+    combinations as one (ta*nb, w*32) x (w*32, tb*nb) MXU matmul per
+    residue — no per-pair operands at all. Identical integer dots,
+    identical bound comparison, identical member fold => masks
+    bit-identical to the per-pair path (regression-tested)."""
+    A = jax.lax.dynamic_slice_in_dim(exp_tab, a0, ta, axis=0)
+    B = jax.lax.dynamic_slice_in_dim(exp_tab, b0, tb, axis=0)
+    nb = n_pad // w
+    F = A.reshape(ta, nb, w * 32)
+    Bpad = jnp.pad(B, ((0, 0), (0, w), (0, 0)))
+    bound = keep_bound(w, threshold)
+    bq = jnp.arange(nb, dtype=jnp.int32)
+    dq = bq[None, :] - bq[:, None]  # (n, q): q - n
+
+    def step(acc, r):
+        Br = jax.lax.dynamic_slice_in_dim(Bpad, r, n_pad, axis=1)
+        G = Br.reshape(tb, nb, w * 32)
+        C = jnp.einsum(
+            "anf,bqf->abnq", F, G, preferred_element_type=jnp.float32
+        )
+        Q = C >= bound  # (ta, tb, nb, nb); cell (n, q) is t = w*q + r
+        g_map = (w * dq + r + (n_pad - 1)) // gd  # diagonal d = t - n*w
+        per_g = [
+            jnp.any(Q & (g_map == g)[None, None], axis=3)
+            for g in range(n_groups)
+        ]
+        return jnp.logical_or(acc, jnp.stack(per_g, axis=-1)), None
+
+    acc0 = jnp.zeros((ta, tb, nb, n_groups), bool)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(w))
+    member = _member_matrix(w, n_pad, n_blocks)
+    hit = (
+        jnp.einsum(
+            "abng,nk->abkg", acc.astype(jnp.int32), jnp.asarray(member)
+        )
+        > 0
+    )  # (ta, tb, n_blocks, n_groups)
+    bits = jnp.int32(1) << jnp.arange(n_blocks, dtype=jnp.int32)
+    return jnp.sum(
+        jnp.where(hit, bits[None, None, :, None], jnp.int32(0)),
+        axis=2,
+        dtype=jnp.int32,
+    )
+
+
+def _dense_tile_plan(sa, sb, e_pad):
+    """Tile assignment for the episode-factorized path. Tiles of the
+    episode-slot axis may OVERLAP at the tail (starts are clamped to
+    e_pad - tile), so the slot->tile mapping below must stay the single
+    source of truth for both dispatch and host assembly."""
+    ta_sz = int(os.environ.get("NEEDLE_TPU_PREFILTER_TA", "16"))
+    tb_sz = int(os.environ.get("NEEDLE_TPU_PREFILTER_TB", "128"))
+    ta_sz = max(1, min(ta_sz, e_pad))
+    tb_sz = max(1, min(tb_sz, e_pad))
+    nta = -(-e_pad // ta_sz)
+    ntb = -(-e_pad // tb_sz)
+    tia = np.minimum(sa // ta_sz, nta - 1)
+    tib = np.minimum(sb // tb_sz, ntb - 1)
+    key = tia.astype(np.int64) * ntb + tib
+    uniq = np.unique(key)
+    return ta_sz, tb_sz, ntb, key, uniq
+
+
+def _band_masks_dense(
+    exp, sa, sb, w, threshold, n_pad, gd, n_groups, n_blocks, e_pad, plan
+):
+    """Dispatch the needed episode-tile rectangles and assemble the
+    per-work-pair masks on host (one coalesced device_get)."""
+    ta_sz, tb_sz, ntb, key, uniq = plan
+    order = np.argsort(key, kind="stable")
+    bounds = np.searchsorted(key[order], uniq)
+    outs = []
+    spans = []
+    for i, k in enumerate(uniq):
+        ti, tj = divmod(int(k), ntb)
+        a0 = min(ti * ta_sz, e_pad - ta_sz)
+        b0 = min(tj * tb_sz, e_pad - tb_sz)
+        outs.append(
+            _tile_band_masks(
+                exp, np.int32(a0), np.int32(b0), w, threshold, n_pad,
+                gd, n_groups, n_blocks, ta_sz, tb_sz,
+            )
+        )
+        s1 = bounds[i + 1] if i + 1 < len(uniq) else len(order)
+        spans.append((a0, b0, bounds[i], s1))
+    outs = jax.device_get(outs)
+    masks = np.empty((len(sa), n_groups), np.int32)
+    for out, (a0, b0, s0, s1) in zip(outs, spans):
+        idx = order[s0:s1]
+        masks[idx] = out[sa[idx] - a0, sb[idx] - b0]
+    return masks
 
 
 def prefilter_band_masks(
@@ -249,26 +366,47 @@ def prefilter_band_masks(
     gd = D_TILE * g_tiles
     n_groups = n_groups_for(n_pad, g_tiles)
     exp = expand_pm1(table_d, vtab_d, n_pad)
-    # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB; env knob for
-    # dispatch-amortization probes
-    chunk = int(os.environ.get("NEEDLE_TPU_PREFILTER_CHUNK", "256"))
     sa = np.fromiter((ep_slot[a] for _, a, _ in work), np.int32, len(work))
     sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, len(work))
-    outs = []
-    for c0 in range(0, len(work), chunk):
-        n_batch = min(chunk, len(work) - c0)
-        ia = np.zeros((chunk,), np.int32)
-        ib = np.zeros((chunk,), np.int32)
-        ia[:n_batch] = sa[c0 : c0 + n_batch]
-        ib[:n_batch] = sb[c0 : c0 + n_batch]
-        outs.append(
-            _chunk_band_masks(
-                exp, ia, ib, w, threshold, n_pad, gd, n_groups, n_blocks
-            )
+    # Episode-factorized path (VERDICT r4 next #2): when the work list is
+    # DENSE in episode-pair space (the all-pairs Comparator always is),
+    # correlate episode tiles against episode tiles — per-pair gathers
+    # disappear and the pass is pure MXU matmul. The cell gate keeps the
+    # per-pair path for sparse work lists, where tile rectangles would
+    # compute mostly unneeded pairs.
+    e_pad = int(table_d.shape[0])
+    dense_mode = os.environ.get("NEEDLE_TPU_PREFILTER_DENSE", "auto")
+    plan = None
+    if dense_mode != "off":
+        plan = _dense_tile_plan(sa, sb, e_pad)
+        ta_sz, tb_sz, _, _, uniq = plan
+        cells = len(uniq) * ta_sz * tb_sz
+        if dense_mode != "on" and cells > 4 * len(work):
+            plan = None
+    if plan is not None:
+        masks = _band_masks_dense(
+            exp, sa, sb, w, threshold, n_pad, gd, n_groups, n_blocks,
+            e_pad, plan,
         )
-    # one coalesced device->host transfer (2 KB per chunk) — dispatches
-    # pipeline instead of paying a tunnel sync per chunk
-    masks = np.concatenate(jax.device_get(outs))[: len(work)]
+    else:
+        # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB; env knob
+        # for dispatch-amortization probes
+        chunk = int(os.environ.get("NEEDLE_TPU_PREFILTER_CHUNK", "256"))
+        outs = []
+        for c0 in range(0, len(work), chunk):
+            n_batch = min(chunk, len(work) - c0)
+            ia = np.zeros((chunk,), np.int32)
+            ib = np.zeros((chunk,), np.int32)
+            ia[:n_batch] = sa[c0 : c0 + n_batch]
+            ib[:n_batch] = sb[c0 : c0 + n_batch]
+            outs.append(
+                _chunk_band_masks(
+                    exp, ia, ib, w, threshold, n_pad, gd, n_groups, n_blocks
+                )
+            )
+        # one coalesced device->host transfer (2 KB per chunk) —
+        # dispatches pipeline instead of paying a tunnel sync per chunk
+        masks = np.concatenate(jax.device_get(outs))[: len(work)]
     keep = masks.any(axis=1)
     kept = [wk for wk, k in zip(work, keep) if k]
     return kept, masks[keep], int(len(work) - len(kept)), w

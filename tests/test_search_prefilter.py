@@ -322,6 +322,74 @@ def test_band_mask_zero_pair_is_dropped(rng, monkeypatch):
     assert kept == [] and n_skipped == 1 and len(masks) == 0
 
 
+def test_dense_band_masks_equal_per_pair(rng, monkeypatch):
+    """The episode-factorized tile path must produce BIT-IDENTICAL masks
+    to the per-pair chunked path (same integer dots, same bound, same
+    member fold) — including with overlapping tail tiles (e_pad not a
+    multiple of the tile size)."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    monkeypatch.setenv("NEEDLE_TPU_PREFILTER_TA", "4")
+    monkeypatch.setenv("NEEDLE_TPU_PREFILTER_TB", "4")
+    n_pad, lm, thr = 1024, 40, 8
+    n_eps = 9  # 9 % 4 != 0 -> clamped, overlapping tail tiles
+    shared = rng.integers(0, 2**32, size=60, dtype=np.uint32)
+    table = rng.integers(0, 2**32, size=(n_eps, n_pad), dtype=np.uint32)
+    for e in range(0, n_eps, 2):  # every even episode shares a run
+        table[e, 100 + 7 * e : 160 + 7 * e] = shared
+    vtab = np.zeros((n_eps, n_pad), bool)
+    for e in range(n_eps):
+        vtab[e, 1 : 900 + 10 * e] = True
+    work = [(p, a, b) for p, (a, b) in enumerate(
+        (a, b) for a in range(n_eps) for b in range(a + 1, n_eps)
+    )]
+    slot = {e: e for e in range(n_eps)}
+
+    def masks_with(mode):
+        monkeypatch.setenv("NEEDLE_TPU_PREFILTER_DENSE", mode)
+        return pf.prefilter_band_masks(
+            table, vtab, work, slot, lambda p: lm, thr, n_pad, 8
+        )
+
+    kept_pp, masks_pp, skip_pp, w_pp = masks_with("off")
+    kept_d, masks_d, skip_d, w_d = masks_with("on")
+    assert w_pp == w_d and skip_pp == skip_d and kept_pp == kept_d
+    np.testing.assert_array_equal(masks_pp, masks_d)
+    assert skip_pp > 0  # odd-episode pairs share nothing: some skipping
+    assert len(kept_pp) > 0  # even-episode pairs survive
+
+
+def test_dense_gate_sparse_work_uses_per_pair(rng, monkeypatch):
+    """auto mode: a sparse work list (few pairs over many episodes) must
+    NOT take the tile path — rectangles would compute mostly unneeded
+    pairs. Verified by counting _tile_band_masks invocations."""
+    monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    monkeypatch.delenv("NEEDLE_TPU_PREFILTER_DENSE", raising=False)
+    calls = []
+    real = pf._tile_band_masks
+    monkeypatch.setattr(
+        pf, "_tile_band_masks",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    n_pad, n_eps = 512, 64
+    table = rng.integers(0, 2**32, size=(n_eps, n_pad), dtype=np.uint32)
+    vtab = np.ones((n_eps, n_pad), bool)
+    vtab[:, 0] = False
+    slot = {e: e for e in range(n_eps)}
+    sparse_work = [(0, 0, 63)]  # one far-apart pair
+    pf.prefilter_band_masks(
+        table, vtab, sparse_work, slot, lambda p: 81, 10, n_pad, 8
+    )
+    assert not calls, "tile path ran on a sparse work list"
+    # dense all-pairs work over the same episodes takes the tile path
+    dense_work = [(p, a, b) for p, (a, b) in enumerate(
+        (a, b) for a in range(n_eps) for b in range(a + 1, n_eps)
+    )]
+    pf.prefilter_band_masks(
+        table, vtab, dense_work, slot, lambda p: 81, 10, n_pad, 8
+    )
+    assert calls, "tile path did not run on a dense work list"
+
+
 def test_band_masks_long_bucket_returns_none(rng, monkeypatch):
     """Buckets with n_blocks > 31 can't be covered by an i32 bitmask:
     prefilter_band_masks must bail out (returning the untouched work
@@ -381,9 +449,11 @@ def test_pallas_path_falls_back_to_pair_prefilter(rng, monkeypatch):
     assert got[0] is not None
 
 
-def test_engine_band_prefilter_matches_numpy(rng, monkeypatch):
+@pytest.mark.parametrize("dense_mode", ["off", "on"])
+def test_engine_band_prefilter_matches_numpy(rng, monkeypatch, dense_mode):
     """Full engine with pallas kernel + band prefilter FORCED on must match
-    the reference-exact numpy engine on a mixed library."""
+    the reference-exact numpy engine on a mixed library — with the band
+    masks computed by either the per-pair or the episode-tile path."""
     from needle_tpu import Comparator
     from needle_tpu.data import FrameHashes
     from needle_tpu.duration import Duration
@@ -391,6 +461,7 @@ def test_engine_band_prefilter_matches_numpy(rng, monkeypatch):
 
     monkeypatch.setattr(S, "_KERNEL", "pallas")
     monkeypatch.setenv("NEEDLE_TPU_SEARCH_PREFILTER", "on")
+    monkeypatch.setenv("NEEDLE_TPU_PREFILTER_DENSE", dense_mode)
 
     step = 247619033
     shared_a = rng.integers(0, 2**32, size=70, dtype=np.uint32)

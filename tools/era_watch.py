@@ -212,15 +212,18 @@ def watch(args: argparse.Namespace) -> None:
     state = {
         "best_full": None,
         "best_dense": None,
+        "best_mixed": None,
         "last_full": 0.0,
         "last_dense": 0.0,
         "fired_full": 0,
         "fired_dense": 0,
+        "fired_mixed": 0,
         # attempts that produced NO headline value (timeout / killed /
         # stalled transport): they don't consume a bandwidth tier, but a
         # cap keeps a persistently-failing era from burning the budget.
         "failed_full": 0,
         "failed_dense": 0,
+        "failed_mixed": 0,
     }
     if state_path.exists():
         try:
@@ -344,6 +347,18 @@ def watch(args: argparse.Namespace) -> None:
             ):
                 state["best_dense"] = v
             save_state()
+            # the mixed-library config rides along on every dense-worthy
+            # era: it is cheap (~0.5-2 min), its floor is prefilter +
+            # launch rather than d2h, and VERDICT r4 #3 wants its headline
+            # in a committed artifact each round (tools/collect_scale.py)
+            if v is not None and not pause.exists():
+                v2 = run_bench("mixed1000", 900, gate_env)
+                state["fired_mixed" if v2 is not None else "failed_mixed"] += 1
+                if v2 is not None and (
+                    state["best_mixed"] is None or v2 < state["best_mixed"]
+                ):
+                    state["best_mixed"] = v2
+                save_state()
 
         time.sleep(180 if h2d >= 45 else 330)
 
