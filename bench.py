@@ -312,6 +312,7 @@ _STAGE_KEYS = (
     "search.collect_device",
     "search.collect_unpack",
     "search.extract",
+    "search.entries",
 )
 
 # Workload diagnostics that are COUNTS, not seconds — reported in a
@@ -320,6 +321,7 @@ _COUNT_KEYS = (
     "search.extract_diags",
     "search.extract_host_fallback",
     "search.prefilter_skipped",
+    "search.direct_items",
     "ingest.upload_bytes",
 )
 

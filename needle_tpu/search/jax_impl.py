@@ -707,12 +707,36 @@ class JaxSearchEngine:
         # cell. Other kernels keep the pair-level skip (with its dense
         # probe). Results for skipped pairs stay [].
         from ..tracing import metrics as _pf_metrics
-        from .prefilter import prefilter_band_masks, prefilter_pairs
+        from .prefilter import (
+            direct_diag_items,
+            prefilter_band_masks,
+            prefilter_pairs,
+        )
 
+        # Direct diagonal flagging (r5): a qualifying prefilter cell
+        # C[b, t] >= bound pins the single diagonal d = t - bW, and every
+        # qualifying run contains an aligned W-block, so the flagged
+        # diagonal set is a sound SUPERSET of what the count kernels
+        # flag — extraction (exact per-pair l_min scan) runs on it
+        # directly and the entire count-kernel walk is skipped. Applies
+        # to every kernel; see prefilter._tile_diag_flags for the
+        # exactness argument and the dense-in-episode-space gate.
         band_masks = None
         n_groups = 0
+        n_skipped = 0
         with span("search.prefilter", work=len(work)):
-            if kernel == "pallas":
+            direct_items = direct_diag_items(
+                table_d, vtab_d, work, ep_slot,
+                lambda p: pair_lm[p], threshold, n_pad,
+            )
+        if direct_items is not None:
+            _pf_metrics.record(
+                "search.direct_items", float(len(direct_items[0]))
+            )
+        with span("search.prefilter", work=len(work)):
+            if direct_items is not None:
+                pass  # flags already resolved; no walk to prefilter
+            elif kernel == "pallas":
                 from .pallas_impl import (
                     _resolve_g_tiles,
                     full_block_mask,
@@ -757,7 +781,13 @@ class JaxSearchEngine:
         w_sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, n_work)
         w_lm = np.fromiter((pair_lm[p] for p, _, _ in work), np.int32, n_work)
 
-        for c0 in range(0, len(work), chunk):
+        # direct mode resolved the flagged diagonals already: launch no
+        # count-kernel chunks (the collect plumbing below handles the
+        # empty launch list and item_rows/item_offs come from the flags)
+        chunk_starts = (
+            range(0, len(work), chunk) if direct_items is None else range(0)
+        )
+        for c0 in chunk_starts:
             batch = work[c0 : c0 + chunk]
             # Padding lanes point at episode slot 0 with an unreachable
             # min-run, so they can never produce candidates.
@@ -920,6 +950,8 @@ class JaxSearchEngine:
         item_offs = (
             np.concatenate(offs_parts) if offs_parts else np.zeros(0, np.int64)
         )
+        if direct_items is not None:
+            item_rows, item_offs = direct_items
         _metrics.record("search.collect_unpack", _time.perf_counter() - _t0)
         cand_row, cand_i, cand_j, cand_L = self._extract_candidates(
             item_rows, item_offs, work, w_sa, w_sb, w_lm,

@@ -326,6 +326,192 @@ def _band_masks_dense(
     return masks
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "threshold", "n_pad", "ta", "tb", "cap"),
+)
+def _tile_diag_flags(exp_tab, a0, b0, mask, w, threshold, n_pad, ta, tb, cap):
+    """Direct diagonal flagging for one episode-tile rectangle.
+
+    KEY IDENTITY (the round-5 algorithmic lever): a qualifying cell
+    C[b, t] >= bound is an aligned all-matching W-block of cells
+    (bW + u, t + u), which all lie on the SINGLE diagonal d = t - bW.
+    Since every qualifying run (length >= l_min >= 2W - 1, guaranteed by
+    prefilter_plan) CONTAINS an aligned W-block, the set
+    {d : exists b with C[b, bW + d] >= bound} is a SUPERSET of the
+    diagonals the count kernel flags — so the entire count-kernel walk
+    (the dense scan's dominant stage) is information-redundant whenever
+    the plan applies: extraction (exact by construction) can run on
+    these candidate diagonals directly. False positives (a matching
+    block without an l_min run) merely extract to nothing.
+
+    Returns (widx, wvals, total): the nonzero u32 WORDS of the flat
+    (ta*tb * 2*n_pad)-bit flag matrix — bit = d + n_pad - 1 within a
+    pair's row, identical to the count-kernel bitmask convention —
+    widx -1-filled past `total` (host re-dispatches with a bigger cap on
+    overflow) and wvals the packed 32-bit word at each index. `mask`
+    (ta, tb) bool keeps only cells that are real work pairs (kills
+    self-pair and non-work noise on diagonal tiles).
+
+    Derivation of the bit position: with K = (q - b) + (nb - 1) the
+    anti-diagonal index and t = wq + r, d = w(q - b) + r, so
+    bit = d + n_pad - 1 = wK + r + (w - 1) — the flattened (K, r) array
+    shifted by w - 1."""
+    A = jax.lax.dynamic_slice_in_dim(exp_tab, a0, ta, axis=0)
+    B = jax.lax.dynamic_slice_in_dim(exp_tab, b0, tb, axis=0)
+    nb = n_pad // w
+    n_bits = 2 * n_pad
+    F = A.reshape(ta, nb, w * 32)
+    Bpad = jnp.pad(B, ((0, 0), (0, w), (0, 0)))
+    bound = keep_bound(w, threshold)
+    # static anti-diagonal one-hot: M[n*nb + q, (q - n) + nb - 1] = 1 —
+    # sum over an anti-diagonal as one MXU matmul (a per-(n,q) gather or
+    # 159-way select would scalarize; counts <= nb so f32 accum is exact)
+    M = np.zeros((nb * nb, 2 * nb - 1), np.float32)
+    nn, qq = np.meshgrid(np.arange(nb), np.arange(nb), indexing="ij")
+    M[(nn * nb + qq).ravel(), (qq - nn + nb - 1).ravel()] = 1.0
+    M = jnp.asarray(M.astype(jnp.bfloat16))
+
+    def step(carry, r):
+        Br = jax.lax.dynamic_slice_in_dim(Bpad, r, n_pad, axis=1)
+        G = Br.reshape(tb, nb, w * 32)
+        C = jnp.einsum(
+            "anf,bqf->abnq", F, G, preferred_element_type=jnp.float32
+        )
+        Q = (C >= bound).astype(jnp.bfloat16).reshape(ta, tb, nb * nb)
+        D = jnp.einsum("abx,xk->abk", Q, M, preferred_element_type=jnp.float32)
+        return carry, D > 0.5  # (ta, tb, 2nb-1)
+
+    _, ys = jax.lax.scan(step, None, jnp.arange(w))
+    ys = ys & mask[None, :, :, None]
+    yt = jnp.moveaxis(ys, 0, -1)  # (ta, tb, 2nb-1, w): flat pos = wK + r
+    flat_kr = yt.reshape(ta, tb, (2 * nb - 1) * w)
+    bits = jnp.pad(
+        flat_kr,
+        ((0, 0), (0, 0), (w - 1, n_bits - (2 * nb - 1) * w - (w - 1))),
+    )
+    # Two-level compaction: jnp.nonzero over the raw (ta*tb*n_bits) bool
+    # (10.5M elements at the dense-1000 tile shape) measured 93 of the
+    # 103 ms/tile — the matmuls are ~10 ms (r5 interleaved decomposition
+    # probe). Bit-PACK to u32 words first (n_bits is a multiple of 32:
+    # every bucket is a multiple of 32 rows and n_bits = 2*n_pad), then
+    # nonzero over the 32x smaller word array; the host expands set words
+    # exactly like the count-kernel bitmask unpack.
+    words = jnp.sum(
+        bits.reshape(-1, 32).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32),
+        axis=1,
+        dtype=jnp.uint32,
+    )
+    nz = words != jnp.uint32(0)
+    total = jnp.sum(nz, dtype=jnp.int32)
+    (widx,) = jnp.nonzero(nz, size=cap, fill_value=-1)
+    wvals = words[jnp.clip(widx, 0, words.shape[0] - 1)]
+    return widx.astype(jnp.int32), wvals, total
+
+
+def direct_diag_items(
+    table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad
+):
+    """Candidate (work row, diagonal offset) items straight from the MXU
+    block correlation — replacing the count-kernel walk entirely (see
+    `_tile_diag_flags`). Returns (item_rows, item_offs) int64 arrays in
+    the exact format `_extract_candidates` consumes, or None when direct
+    flagging doesn't apply (mode off / plan inapplicable / work list too
+    sparse in episode-pair space for the tile rectangles).
+
+    Exactness: the flagged set is a superset of the count kernel's
+    qualifying diagonals for every pair (module docstring bound +
+    l_min >= 2W - 1 from prefilter_plan); extraction applies each pair's
+    own l_min exactly, so extra flags only cost extract work. Pairs with
+    no flags produce no items — identical to the band prefilter's
+    all-zero-mask drop."""
+    mode = os.environ.get("NEEDLE_TPU_SEARCH_DIRECT", "auto")
+    if mode == "off" or not work:
+        return None
+    min_lm = min(lm_of(p) for p, _, _ in work)
+    w = prefilter_plan(len(work), min_lm, threshold, n_pad)
+    if w is None:
+        return None
+    e_pad = int(table_d.shape[0])
+    sa = np.fromiter((ep_slot[a] for _, a, _ in work), np.int32, len(work))
+    sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, len(work))
+    plan = _dense_tile_plan(sa, sb, e_pad)
+    ta_sz, tb_sz, ntb, key, uniq = plan
+    cells = len(uniq) * ta_sz * tb_sz
+    if mode != "on" and cells > 4 * len(work):
+        return None
+    exp = expand_pm1(table_d, vtab_d, n_pad)
+    n_bits = 2 * n_pad
+    # work-row lookup: (slot_a, slot_b) -> row; the device mask restricts
+    # flags to work cells, so every returned cell resolves
+    wkey = sa.astype(np.int64) * e_pad + sb
+    worder = np.argsort(wkey, kind="stable")
+    wkey_sorted = wkey[worder]
+    cap0 = int(os.environ.get("NEEDLE_TPU_DIRECT_CAP", "0")) or (
+        8 * ta_sz * tb_sz
+    )
+    # Work-membership masks for ALL tiles built host-side and uploaded in
+    # ONE device_put: separate per-tile transfers paid ~0.1 s fixed each
+    # on this tunneled transport — ~28 s of the 29 s prefilter stage at
+    # 280 tiles (measured r5, 3-trial warm run); the stacked upload (~half
+    # a MB) pipelines as one transfer and the per-dispatch mask becomes a
+    # device-side slice.
+    order = np.argsort(key, kind="stable")
+    bounds = np.searchsorted(key[order], uniq)
+    mask_all = np.zeros((len(uniq), ta_sz, tb_sz), bool)
+    origins = []
+    for t, k in enumerate(uniq):
+        ti, tj = divmod(int(k), ntb)
+        a0 = min(ti * ta_sz, e_pad - ta_sz)
+        b0 = min(tj * tb_sz, e_pad - tb_sz)
+        s1 = bounds[t + 1] if t + 1 < len(uniq) else len(order)
+        sel = order[bounds[t] : s1]
+        mask_all[t, sa[sel] - a0, sb[sel] - b0] = True
+        origins.append((a0, b0))
+    mask_all_d = jax.device_put(mask_all)
+
+    def dispatch(t, cap):
+        a0, b0 = origins[t]
+        return _tile_diag_flags(
+            exp, np.int32(a0), np.int32(b0), mask_all_d[t],
+            w, threshold, n_pad, ta_sz, tb_sz, cap,
+        )
+
+    launched = [dispatch(t, cap0) for t in range(len(uniq))]
+    got = jax.device_get(launched)
+    rows_parts, offs_parts = [], []
+    for t, ((a0, b0), (widx, wvals, total)) in enumerate(zip(origins, got)):
+        total = int(total)
+        cap = cap0
+        while total > cap:
+            # pathological tile (pervasive self-similarity): re-dispatch
+            # with the next pow2 cap — bucketed so compiles stay bounded
+            cap = max(cap * 2, 1 << (total - 1).bit_length())
+            widx, wvals, t2 = jax.device_get(dispatch(t, cap))
+            total = int(t2)
+        widx = widx[:total].astype(np.int64)
+        wvals = np.asarray(wvals[:total], dtype=np.uint32)
+        # expand set words to bit positions (same recipe as the
+        # count-kernel bitmask unpack)
+        bitmat = (wvals[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+        sub_r, sub_k = np.nonzero(bitmat)
+        fpos = widx[sub_r] * 32 + sub_k
+        cell = fpos // n_bits
+        bit = fpos % n_bits
+        la, lb = cell // tb_sz, cell % tb_sz
+        skey = (la + a0) * e_pad + (lb + b0)
+        pos = np.searchsorted(wkey_sorted, skey)
+        rows_parts.append(worder[pos])
+        offs_parts.append(bit - (n_pad - 1))
+    if rows_parts:
+        return (
+            np.concatenate(rows_parts),
+            np.concatenate(offs_parts),
+        )
+    return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+
 def prefilter_band_masks(
     table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad, g_tiles
 ):
