@@ -279,7 +279,7 @@ K_CANDS = 8
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_pad"))
 def _batch_extract_candidates(
-    table, vtab, tpad, vpad, ia_b, ib_b, off_b, lm_b, threshold, n_pad
+    table, vtab, tpad, ia_b, ib_b, off_b, lm_b, threshold, n_pad
 ):
     """Device extraction of run-end candidates for flagged diagonals.
 
@@ -293,28 +293,32 @@ def _batch_extract_candidates(
     Replaces the host per-diagonal rescan that cost ~18% of wall at
     1000-episode scale (67 s of numpy over 500k diagonals).
 
-    `tpad`/`vpad` are the zero-padded table (e_pad, 3*n_pad) built ONCE
-    per side (see `_pad_tables`): r3's per-item
-    `concatenate(zeros, hd, zeros)` materialized (items, 3*n_pad) u32 +
-    bool per chunk — ~4x the useful bytes — and was the extract stage's
-    dominant HBM traffic at 500k flagged diagonals (r5 interleaved A/B:
-    see STATUS). The shared-table dynamic_slice reads only the n_pad
-    window of the ONE row it needs."""
+    `tpad` is the zero-padded table (e_pad, 3*n_pad) built ONCE per side
+    (see `_pad_tables`): r3's per-item `concatenate(zeros, hd, zeros)`
+    materialized (items, 3*n_pad) u32 + bool per chunk — ~4x the useful
+    bytes — and was the extract stage's dominant HBM traffic at 500k
+    flagged diagonals (r5). Validity is INDEX math, not memory: vtab
+    rows are contiguous [1, nv) by construction (_search_side), so the
+    per-item validity reads (a (items, n_pad) bool gather + a padded
+    slice — ~20% of the stage's bytes) reduce to bounds checks against
+    nv/mv scalars."""
+    nv_tab = jnp.sum(vtab, axis=1, dtype=jnp.int32) + 1
 
     def one(ia, ib, off, lm):
-        hs, vs = table[ia], vtab[ia]
+        hs = table[ia]
+        nv, mv = nv_tab[ia], nv_tab[ib]
         idx = jnp.arange(n_pad, dtype=jnp.int32)
+        j = idx + off
         # The diagonal read hd[idx + off] is a SHIFTED SLICE, not a general
         # gather: dynamic_slice the pre-padded row at n_pad + off (start is
         # always in-bounds: off in [-(n_pad-1), n_pad-1]). The gather
         # formulation scalarized on TPU and was the ENTIRE extract-stage
         # cost (isolated r3: 242 ms/dispatch with the gather alone vs the
-        # full scan pipeline at the same 242 ms). Out-of-range j reads the
-        # zero padding, whose False validity reproduces the old
-        # vd[jc] & (j == jc) masking exactly.
+        # full scan pipeline at the same 242 ms). Out-of-range j is masked
+        # by the bounds check, matching the old zero-padded validity.
         hd_s = jax.lax.dynamic_slice(tpad, (ib, n_pad + off), (1, n_pad))[0]
-        vd_s = jax.lax.dynamic_slice(vpad, (ib, n_pad + off), (1, n_pad))[0]
-        S = (_popcount_u32_jnp(hs ^ hd_s) <= threshold) & vs & vd_s
+        valid = (idx >= 1) & (idx < nv) & (j >= 1) & (j < mv)
+        S = (_popcount_u32_jnp(hs ^ hd_s) <= threshold) & valid
         c = jnp.cumsum(S.astype(jnp.int32))
         z = jnp.where(S, 0, c)
         run = c - jax.lax.cummax(z)
@@ -335,14 +339,11 @@ def _batch_extract_candidates(
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _pad_tables(table, vtab, n_pad):
-    """Zero-padded (e_pad, 3*n_pad) episode table + validity for the
-    extract kernel's shifted-slice reads — one device op per side
-    (~30 MB at the 1000-episode scale), replacing a per-item pad."""
-    return (
-        jnp.pad(table, ((0, 0), (n_pad, n_pad))),
-        jnp.pad(vtab, ((0, 0), (n_pad, n_pad))),
-    )
+def _pad_tables(table, n_pad):
+    """Zero-padded (e_pad, 3*n_pad) episode table for the extract
+    kernel's shifted-slice reads — one device op per side (~30 MB at the
+    1000-episode scale), replacing a per-item pad."""
+    return jnp.pad(table, ((0, 0), (n_pad, n_pad)))
 
 
 def _diag_candidates(
@@ -1016,7 +1017,7 @@ class JaxSearchEngine:
                 host_diag(row, off)
             host_diags = n_items
         else:
-            tpad_d, vpad_d = _pad_tables(table_d, vtab_d, n_pad)
+            tpad_d = _pad_tables(table_d, n_pad)
             CH = 4096
             launched = []
             for c0 in range(0, n_items, CH):
@@ -1036,7 +1037,7 @@ class JaxSearchEngine:
                         rows_blk,
                         offs_blk,
                         _batch_extract_candidates(
-                            table_d, vtab_d, tpad_d, vpad_d,
+                            table_d, vtab_d, tpad_d,
                             jnp.asarray(ia), jnp.asarray(ib),
                             jnp.asarray(off_a), jnp.asarray(lm_a),
                             threshold, n_pad,

@@ -418,6 +418,62 @@ def prefilter_parity(rng):
     return out
 
 
+def direct_parity(rng):
+    """Forced direct-diagonal-flagging leg (r5) on the default backend:
+    the flagged-diagonal superset claim (every qualifying run's aligned
+    block pins its diagonal; prefilter._tile_diag_flags) rests on the
+    same bf16 +/-1 MXU integer-exactness as the prefilter bound, so it
+    needs the same on-hardware backing. Runs the full JAX engine with
+    NEEDLE_TPU_SEARCH_DIRECT=on over the prefilter adversary libraries
+    (mixed, unrelated-only, weakest-qualifying zero-slack run) and
+    compares every info against the oracle; reports flagged item count."""
+    import os
+
+    from needle_tpu.tracing import metrics
+
+    libs = make_prefilter_libraries(rng)
+    mismatches = []
+    pairs = 0
+    before = metrics.snapshot().get("search.direct_items", (0.0,))[0]
+    prev = os.environ.get("NEEDLE_TPU_SEARCH_DIRECT")
+    # plan gating reads the prefilter mode (small libraries need "on")
+    prev_pf = os.environ.get("NEEDLE_TPU_SEARCH_PREFILTER")
+    os.environ["NEEDLE_TPU_SEARCH_DIRECT"] = "on"
+    os.environ["NEEDLE_TPU_SEARCH_PREFILTER"] = "on"
+    t0 = time.time()
+    try:
+        for name, fhs, thr, mo, endings in libs:
+            want = run_engine(fhs, thr, mo, endings, "numpy")
+            got = run_engine(fhs, thr, mo, endings, "jax")
+            pairs += len(got)
+            if got != want:
+                bad = [k for k, (g, o) in enumerate(zip(got, want))
+                       if g != o]
+                mismatches.append({"library": name, "bad_pairs": bad[:8]})
+    finally:
+        if prev is None:
+            os.environ.pop("NEEDLE_TPU_SEARCH_DIRECT", None)
+        else:
+            os.environ["NEEDLE_TPU_SEARCH_DIRECT"] = prev
+        if prev_pf is None:
+            os.environ.pop("NEEDLE_TPU_SEARCH_PREFILTER", None)
+        else:
+            os.environ["NEEDLE_TPU_SEARCH_PREFILTER"] = prev_pf
+    items = (
+        metrics.snapshot().get("search.direct_items", (0.0,))[0] - before
+    )
+    out = {
+        "exact": not mismatches,
+        "libraries": len(libs),
+        "pair_infos_checked": pairs,
+        "direct_items": int(items),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    if mismatches:
+        out["mismatches"] = mismatches
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=6)
@@ -476,6 +532,7 @@ def main():
         out["prefilter"] = prefilter_parity(
             np.random.default_rng(args.seed + 1)
         )
+        out["direct"] = direct_parity(np.random.default_rng(args.seed + 1))
     if not args.skip_eps:
         eps_stats = validate_exact_eps(rng, seconds=args.eps_seconds)
         from needle_tpu.fingerprint.jax_impl import _exact_eps
@@ -508,11 +565,14 @@ def main():
         )
     print(json.dumps(out))
     pf = out.get("prefilter", {})
+    dr = out.get("direct", {})
     return (
         0
         if out["exact"]
         and pf.get("exact", True)
         and pf.get("pairs_skipped", 1) > 0
+        and dr.get("exact", True)
+        and dr.get("direct_items", 1) > 0
         and out.get("eps_ok", True)
         and out.get("hashes_bit_exact", True)
         and out.get("ingest_eps_ok", True)
