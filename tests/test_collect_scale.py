@@ -62,3 +62,52 @@ def test_collect_picks_min_per_config(tmp_path, monkeypatch):
     assert len(got["search1000"]["runs"]) == 2
     assert got["mixed1000"]["best"]["headline"]["value"] == 12.0
     assert "full" not in got
+
+def test_detail_embedded_in_best(tmp_path, monkeypatch):
+    monkeypatch.setattr(collect_scale, "REPO", tmp_path)
+    runs = tmp_path / ".bench_runs"
+    runs.mkdir()
+    _write(
+        runs / "100000_search1000.log",
+        [
+            json.dumps({"detail_for": "m", "stages": {"walk": 20.0}}),
+            json.dumps({"metric": "m", "value": 33.0, "unit": "s"}),
+        ],
+    )
+    got = collect_scale.collect(runs, ["search1000"])
+    assert got["search1000"]["best"]["detail"]["stages"]["walk"] == 20.0
+
+
+def test_merge_prior_keeps_committed_best_on_empty_rescan(tmp_path):
+    out = tmp_path / "BENCH_scale.json"
+    prior_best = {
+        "headline": {"metric": "m", "value": 26.5, "unit": "s"},
+        "log": ".bench_runs/gone.log",
+    }
+    out.write_text(json.dumps({
+        "configs": {"search1000": {"best": prior_best,
+                                   "runs": [{"value": 26.5, "log": ".bench_runs/gone.log"}]}}
+    }))
+    by_cfg = {}  # fresh scan found nothing (logs wiped)
+    collect_scale.merge_prior(by_cfg, out)
+    assert by_cfg["search1000"]["best"]["headline"]["value"] == 26.5
+    assert len(by_cfg["search1000"]["runs"]) == 1
+
+
+def test_merge_prior_new_best_wins_but_provenance_united(tmp_path):
+    out = tmp_path / "BENCH_scale.json"
+    out.write_text(json.dumps({
+        "configs": {"search1000": {
+            "best": {"headline": {"metric": "m", "value": 30.0}},
+            "runs": [{"value": 30.0, "log": ".bench_runs/old.log"}],
+        }}
+    }))
+    by_cfg = {"search1000": {
+        "best": {"headline": {"metric": "m", "value": 22.0},
+                 "log": ".bench_runs/new.log"},
+        "runs": [{"value": 22.0, "log": ".bench_runs/new.log"}],
+    }}
+    collect_scale.merge_prior(by_cfg, out)
+    assert by_cfg["search1000"]["best"]["headline"]["value"] == 22.0
+    logs = {r["log"] for r in by_cfg["search1000"]["runs"]}
+    assert logs == {".bench_runs/new.log", ".bench_runs/old.log"}
