@@ -284,13 +284,20 @@ class Comparator:
         if len(matches) == 0:
             return None
 
-        # candidates: ((start, end), hash_duration) + parallel arrays of
-        # match hash / duration nanos / is_opening. Flat arrays instead of
+        # Candidate columns (match hash / run-duration nanos / is_opening)
+        # collected per GROUP, not per entry. Flat arrays instead of
         # per-candidate tuples+scalar np.float32 math: a dense 1000-episode
         # library funnels ~2000 candidates into EACH episode's vote and the
         # scalar version measured ~43 ms/episode (~43 s per scan, r4).
-        candidates = []
-        sims_l, durs_l, open_l = [], [], []
+        # Array-backed groups (the JAX engine's _LazyEntries) contribute
+        # column VIEWS without materializing any RunEntry; the winning
+        # candidate alone is materialized in pick(). Candidate order is
+        # identical to the per-entry walk (matches -> openings, endings ->
+        # entries in heap backing order), so the (score, k) tie-break
+        # selects the same candidate.
+        sims_parts, durs_parts = [], []
+        open_flags, group_lens = [], []
+        groups_meta = []  # (entries, is_source) per non-empty group
         for m, is_source in matches:
             if is_source:
                 groups = ((m.src_openings, True), (m.src_endings, False))
@@ -300,17 +307,29 @@ class Comparator:
                 run_of = _DST_RUN, _DST_HD, _DST_MH
             get_run, get_hd, get_mh = run_of
             for entries, is_opening in groups:
-                for e in entries:
-                    run = get_run(e)
-                    candidates.append((run, get_hd(e)))
-                    sims_l.append(get_mh(e))
-                    # run end >= start always (they delimit a found run),
-                    # so plain int math matches Duration.__sub__ here
-                    durs_l.append(run[1]._nanos - run[0]._nanos)
-                    open_l.append(is_opening)
+                n = len(entries)
+                if n == 0:
+                    continue
+                vc = getattr(entries, "vote_cols", None)
+                if vc is not None:
+                    s_col, d_col = vc(is_source)
+                else:
+                    s_col = np.empty(n, np.uint64)
+                    d_col = np.empty(n, np.int64)
+                    for k, e in enumerate(entries):
+                        s_col[k] = get_mh(e)
+                        run = get_run(e)
+                        # run end >= start always (they delimit a found
+                        # run), so plain int math matches Duration.__sub__
+                        d_col[k] = run[1]._nanos - run[0]._nanos
+                sims_parts.append(s_col)
+                durs_parts.append(d_col)
+                open_flags.append(is_opening)
+                group_lens.append(n)
+                groups_meta.append((entries, is_source))
 
         best = SearchResult()
-        if not candidates:
+        if not group_lens:
             # The reference would compute empty vote maps and find no best
             # opening/ending; it still returns Some(default).
             return best
@@ -323,7 +342,7 @@ class Comparator:
         # Votes depend only on the simhash VALUES, so the pairwise distance
         # matrix is computed over unique values with multiplicities — exact,
         # and k-squared only in distinct hashes instead of candidates.
-        sim = np.array(sims_l, dtype=np.uint32)
+        sim = np.concatenate(sims_parts).astype(np.uint32)
         uniq, inv, cnt = np.unique(
             sim, return_inverse=True, return_counts=True
         )
@@ -338,7 +357,7 @@ class Comparator:
         # duration_secs is Rust Duration::as_secs_f32 (f32 secs + f32
         # subsec / 1e9f32); elementwise np.float32 ops are the same IEEE
         # single-precision operations as the scalar version.
-        dur_n = np.array(durs_l, dtype=np.int64)
+        dur_n = np.concatenate(durs_parts)
         dur_f32 = (dur_n // 1_000_000_000).astype(np.float32) + (
             dur_n % 1_000_000_000
         ).astype(np.float32) / np.float32(1e9)
@@ -346,7 +365,9 @@ class Comparator:
             votes.astype(np.float32) * np.float32(0.3)
             + dur_f32 * np.float32(0.7)
         )
-        is_open_arr = np.array(open_l, dtype=bool)
+        glen = np.asarray(group_lens, np.int64)
+        is_open_arr = np.repeat(np.asarray(open_flags, bool), glen)
+        bases = np.concatenate(([0], np.cumsum(glen)[:-1]))
 
         def pick(want_opening: bool):
             sel = np.flatnonzero((is_open_arr == want_opening) & eligible)
@@ -354,7 +375,20 @@ class Comparator:
                 return None
             # lexicographic (score, k) minimum, like the reference tuple sort
             idx = int(sel[np.lexsort((sel, score[sel]))[0]])
-            (start, end), hash_duration = candidates[idx]
+            g = int(np.searchsorted(bases, idx, side="right")) - 1
+            entries, is_source = groups_meta[g]
+            k_local = idx - int(bases[g])
+            erh = getattr(entries, "entry_run_hd", None)
+            if erh is not None:
+                (start, end), hash_duration = erh(k_local, is_source)
+            else:
+                e = entries[k_local]
+                if is_source:
+                    start, end = _SRC_RUN(e)
+                    hash_duration = _SRC_HD(e)
+                else:
+                    start, end = _DST_RUN(e)
+                    hash_duration = _DST_HD(e)
             return (
                 start + self.time_padding,
                 end - self.time_padding - hash_duration,

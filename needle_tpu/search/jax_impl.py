@@ -410,6 +410,187 @@ class _EpisodeSide:
         return self._simhash_prefix
 
 
+def _heap_perm_segments(rank: np.ndarray, g0: np.ndarray, gb: np.ndarray) -> np.ndarray:
+    """BinaryHeap backing-order permutation for every segment
+    [g0[k], gb[k+1]) of `rank`, vectorized across same-size segments.
+
+    `rank` must order identically to the entries' Ord keys (a dense rank —
+    EQUAL keys must map to EQUAL ranks, since sift-up stops on <=). For
+    each segment size the BinaryHeap push sequence is simulated across all
+    segments of that size at once: the heap slot layout is identical, only
+    the data-dependent sift swaps differ, and those vectorize as masked
+    row updates. Segments of a rare size fall back to the scalar
+    `binary_heap_perm`. Equivalence with the scalar spec is pinned by
+    tests across sizes and tie patterns."""
+    from .oracle import binary_heap_perm
+
+    n_tot = len(rank)
+    out = np.empty(n_tot, np.int64)
+    sizes = (gb[1:] - g0).astype(np.int64)
+    starts = g0.astype(np.int64)
+    rank_l = None
+    for n in np.unique(sizes):
+        seg = np.flatnonzero(sizes == n)
+        st = starts[seg]
+        if n == 1:
+            out[st] = st
+            continue
+        if n * len(seg) < 512:
+            # scalar fallback: cheaper than numpy dispatch overhead for a
+            # handful of tiny segments
+            if rank_l is None:
+                rank_l = rank.tolist()
+            for s0 in st.tolist():
+                s1 = s0 + int(n)
+                p = binary_heap_perm(rank_l[s0:s1])
+                out[s0:s1] = [s0 + q for q in p]
+            continue
+        m = len(seg)
+        gather = st[:, None] + np.arange(n)[None, :]
+        karr = rank[gather]  # (m, n) keys in push order
+        data = np.zeros((m, n), np.int64)  # local index per heap slot
+        kk = np.empty((m, n), np.int64)
+        kk[:, 0] = karr[:, 0]
+        rows_all = np.arange(m)
+        for j in range(1, int(n)):
+            pos = np.full(m, j, np.int64)
+            key = karr[:, j]
+            active = np.ones(m, bool)
+            while True:
+                parent = (pos - 1) >> 1
+                pk = kk[rows_all, parent]
+                swap = active & (key > pk)
+                r = np.flatnonzero(swap)
+                if len(r):
+                    data[r, pos[r]] = data[r, parent[r]]
+                    kk[r, pos[r]] = pk[r]
+                pos = np.where(swap, parent, pos)
+                active = swap & (pos > 0)
+                if not active.any():
+                    break
+            data[rows_all, pos] = j
+            kk[rows_all, pos] = key
+        out[gather] = st[:, None] + data
+    return out
+
+
+class _LazyEntries:
+    """Array-backed `List[RunEntry]` for one pair, in BinaryHeap backing
+    order.
+
+    A dense whole-library scan produces millions of entries; materializing
+    RunEntry + 4 Duration objects for each measured ~8 us/entry (~14 s of
+    the 500k-pair dense scan, the recorded r5 host floor) — yet the only
+    production consumer is `Comparator.find_best_match`, which needs just
+    the simhash / run-duration COLUMNS for voting and the (run, hash
+    duration) of the single winning candidate. This class keeps the
+    columns as shared permuted arrays (`cols` is one tuple shared by every
+    pair of a scan; this object holds only a [s0, s1) window) and
+    materializes RunEntry objects lazily on first sequence-style access,
+    so equivalence tests and any list-consuming caller see exactly the
+    objects `_entries_from_candidates` would have built.
+
+    cols layout: (L, ss, se, ds, de, ssim, dsim, sdur, ddur) — int64
+    nanos / uint64 simhashes, already in heap order globally.
+    """
+
+    __slots__ = ("cols", "s0", "s1", "src_hd", "dst_hd", "is_opening", "_mat")
+
+    def __init__(self, cols, s0, s1, src_hd, dst_hd, is_opening):
+        self.cols = cols
+        self.s0 = int(s0)
+        self.s1 = int(s1)
+        self.src_hd = src_hd
+        self.dst_hd = dst_hd
+        self.is_opening = is_opening
+        self._mat = None
+
+    # -- cheap protocol (no materialization) --------------------------------
+    def __len__(self):
+        return self.s1 - self.s0
+
+    def vote_cols(self, is_source: bool):
+        """(simhash, run-duration-nanos) column views for find_best_match's
+        vote, for this pair viewed from the src or dst episode."""
+        L, ss, se, ds, de, ssim, dsim, sdur, ddur = self.cols
+        if is_source:
+            return ssim[self.s0 : self.s1], sdur[self.s0 : self.s1]
+        return dsim[self.s0 : self.s1], ddur[self.s0 : self.s1]
+
+    def entry_run_hd(self, k: int, is_source: bool):
+        """((run_start, run_end), hash_duration) of entry k — Durations
+        constructed for this one entry only (the vote winner)."""
+        L, ss, se, ds, de, ssim, dsim, sdur, ddur = self.cols
+        g = self.s0 + k
+        if is_source:
+            a, b, hd = int(ss[g]), int(se[g]), self.src_hd
+        else:
+            a, b, hd = int(ds[g]), int(de[g]), self.dst_hd
+        da = Duration.__new__(Duration)
+        da._nanos = a
+        db = Duration.__new__(Duration)
+        db._nanos = b
+        return (da, db), hd
+
+    # -- list-compatible access (materializes) ------------------------------
+    def materialize(self):
+        if self._mat is None:
+            L, ss, se, ds, de, ssim, dsim, _, _ = self.cols
+            s0, s1 = self.s0, self.s1
+            is_opening = self.is_opening
+            not_opening = not is_opening
+            src_hd, dst_hd = self.src_hd, self.dst_hd
+            D_new = Duration.__new__
+            out = []
+            for k in range(s0, s1):
+                d_ss = D_new(Duration)
+                d_ss._nanos = int(ss[k])
+                d_se = D_new(Duration)
+                d_se._nanos = int(se[k])
+                d_ds = D_new(Duration)
+                d_ds._nanos = int(ds[k])
+                d_de = D_new(Duration)
+                d_de._nanos = int(de[k])
+                out.append(
+                    RunEntry(
+                        int(L[k]),
+                        (d_ss, d_se),
+                        (d_ds, d_de),
+                        int(ssim[k]),
+                        int(dsim[k]),
+                        is_opening,
+                        not_opening,
+                        is_opening,
+                        not_opening,
+                        src_hd,
+                        dst_hd,
+                    )
+                )
+            self._mat = out
+        return self._mat
+
+    def __getitem__(self, k):
+        return self.materialize()[k]
+
+    def __iter__(self):
+        return iter(self.materialize())
+
+    def __eq__(self, other):
+        if isinstance(other, _LazyEntries):
+            other = other.materialize()
+        if isinstance(other, list):
+            return self.materialize() == other
+        return NotImplemented
+
+    def __repr__(self):
+        return f"_LazyEntries({self.materialize()!r})"
+
+    def __reduce__(self):
+        # Cross-process transport (parallel.distributed pickles infos):
+        # arrive as the canonical plain list of RunEntry.
+        return (list, (self.materialize(),))
+
+
 class JaxSearchEngine:
     """Batched all-pairs search over TPU (or any JAX backend)."""
 
@@ -483,7 +664,7 @@ class JaxSearchEngine:
         keys come from the arrays instead of per-entry ord_key() calls.
         The per-pair version cost ~95 us/pair (~48 s at 500k dense pairs,
         r4) — bigger than any recorded device stage of the dense walk."""
-        from .oracle import binary_heap_order_keyed, simhash32_from_prefix
+        from .oracle import simhash32_from_prefix
 
         if len(cand_row) == 0:
             return
@@ -533,53 +714,55 @@ class JaxSearchEngine:
         src_sim = sim_by_slot(sa, ssi, i)
         dst_sim = sim_by_slot(sb, dsi, j)
 
-        # Inlined Duration construction (values are non-negative host ints
-        # straight from the int64 ts table) and positional RunEntry args:
-        # object construction is ~80% of this loop's time, ~14 us/entry
-        # through the public constructors vs ~8 us this way (profiled r4).
-        D_new = Duration.__new__
-        not_opening = not is_opening
+        # RunEntry objects are NOT constructed here (was ~8 us/entry even
+        # with inlined constructors — ~14 s of the 500k-pair dense scan,
+        # the recorded r5 host floor). The BinaryHeap backing order is a
+        # pure function of the Ord keys, so compute the per-pair heap
+        # PERMUTATION on key tuples, apply it to the columns once
+        # library-wide, and hand each pair a _LazyEntries window that
+        # materializes objects only if something list-walks it (the
+        # production consumer, find_best_match, reads the columns).
         # per-pair groups (row is sorted ascending)
         g0 = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
         gb = np.r_[g0, len(row)]
-        L_l = L.tolist()
-        ss_l, se_l = src_start.tolist(), src_end.tolist()
-        ds_l, de_l = dst_start.tolist(), dst_end.tolist()
-        ssim_l, dsim_l = src_sim.tolist(), dst_sim.tolist()
-        row_l = row.tolist()
-        for g in range(len(g0)):
-            s0, s1 = int(gb[g]), int(gb[g + 1])
-            r = row_l[s0]
-            src_hd = hash_durations[w_a[r]]
-            dst_hd = hash_durations[w_b[r]]
-            entries, keys = [], []
-            for k in range(s0, s1):
-                ss, se = ss_l[k], se_l[k]
-                ds, de = ds_l[k], de_l[k]
-                d_ss = D_new(Duration); d_ss._nanos = ss
-                d_se = D_new(Duration); d_se._nanos = se
-                d_ds = D_new(Duration); d_ds._nanos = ds
-                d_de = D_new(Duration); d_de._nanos = de
-                entries.append(
-                    RunEntry(
-                        L_l[k],
-                        (d_ss, d_se),
-                        (d_ds, d_de),
-                        ssim_l[k],
-                        dsim_l[k],
-                        is_opening,
-                        not_opening,
-                        is_opening,
-                        not_opening,
-                        src_hd,
-                        dst_hd,
-                    )
-                )
-                # Ord-key prefix: the dropped suffix (flags, hash
-                # durations) is constant within one pair's heap, so it
-                # can never change a comparison (binary_heap_order_keyed)
-                keys.append((L_l[k], ss, se, ds, de, ssim_l[k], dsim_l[k]))
-            results[int(w_pidx[r])] = binary_heap_order_keyed(entries, keys)
+        # Dense rank replacing the Ord-key tuples: one lexsort orders the
+        # 7-column key prefix (the dropped suffix — flags, hash durations —
+        # is constant within one pair's heap, so it can never change a
+        # comparison), adjacent-distinct cumsum assigns EQUAL keys EQUAL
+        # ranks (sift-up stops on <=, so ties are semantic), and the heap
+        # simulation then compares single ints instead of 7-tuples.
+        key_cols = (L, src_start, src_end, dst_start, dst_end, src_sim, dst_sim)
+        o = np.lexsort(key_cols[::-1])
+        neq = np.zeros(len(o), bool)
+        for c in key_cols:
+            cs = c[o]
+            neq[1:] |= cs[1:] != cs[:-1]
+        rank = np.empty(len(o), np.int64)
+        rank[o] = np.cumsum(neq)
+        pa = _heap_perm_segments(rank, g0, gb)
+        src_start, src_end = src_start[pa], src_end[pa]
+        dst_start, dst_end = dst_start[pa], dst_end[pa]
+        cols = (
+            L[pa],
+            src_start,
+            src_end,
+            dst_start,
+            dst_end,
+            src_sim[pa],
+            dst_sim[pa],
+            src_end - src_start,
+            dst_end - dst_start,
+        )
+        rows_first = row[g0]
+        pidx_l = w_pidx[rows_first].tolist()
+        ha_l = w_a[rows_first].tolist()
+        hb_l = w_b[rows_first].tolist()
+        s0_l = gb[:-1].tolist()
+        s1_l = gb[1:].tolist()
+        for pidx, ai, bi, s0, s1 in zip(pidx_l, ha_l, hb_l, s0_l, s1_l):
+            results[pidx] = _LazyEntries(
+                cols, s0, s1, hash_durations[ai], hash_durations[bi], is_opening
+            )
 
     def _search_side(
         self,
@@ -1130,7 +1313,8 @@ class JaxSearchEngine:
                 if comparator.include_endings
                 else empty
             )
-            infos.append(
-                OpeningAndEndingInfo(list(op), list(op), list(en), list(en))
-            )
+            # Entry lists are placed (not copied) into both src and dst
+            # slots: nothing downstream mutates them, and copying a
+            # _LazyEntries through list() would defeat its laziness.
+            infos.append(OpeningAndEndingInfo(op, op, en, en))
         return infos

@@ -158,6 +158,27 @@ def binary_heap_order_keyed(entries: List[RunEntry], ord_keys) -> List[RunEntry]
     return data
 
 
+def binary_heap_perm(keys) -> List[int]:
+    """`binary_heap_order` as a permutation: the index order the BinaryHeap
+    backing array would hold after pushing items with these Ord keys in
+    sequence. Lets batched engines order column ARRAYS into heap order
+    without constructing the entry objects first."""
+    data: List[int] = []
+    kk: list = []
+    for idx, key in enumerate(keys):
+        data.append(idx)
+        kk.append(key)
+        pos = len(data) - 1
+        while pos > 0:
+            parent = (pos - 1) // 2
+            if key <= kk[parent]:
+                break
+            data[pos], kk[pos] = data[parent], kk[parent]
+            pos = parent
+        data[pos], kk[pos] = idx, key
+    return data
+
+
 def compute_run_table(
     src_hashes: np.ndarray, dst_hashes: np.ndarray, threshold: int
 ) -> np.ndarray:

@@ -315,3 +315,152 @@ def test_entries_batch_matches_scalar_spec():
             hash_durations[a], hash_durations[b], True, min_dur_ns,
         )
         assert batch[p_idx] == ref, f"pair {p_idx} diverged"
+
+
+def test_heap_perm_segments_matches_scalar():
+    """_heap_perm_segments (vectorized same-size BinaryHeap simulation)
+    must reproduce binary_heap_perm per segment — including duplicate keys
+    (sift-up stops on <=, so ties are semantic) and both the scalar
+    fallback (rare sizes) and the vectorized path (common sizes)."""
+    from needle_tpu.search.jax_impl import _heap_perm_segments
+    from needle_tpu.search.oracle import binary_heap_perm
+
+    rng = np.random.default_rng(3)
+    # many segments of a few common sizes (vector path) + rare sizes
+    # (scalar fallback) + heavy tie pressure from a tiny key alphabet
+    sizes = (
+        [1] * 40 + [2] * 300 + [3] * 250 + [7] * 120 + [4] * 10
+        + [19] * 40 + [63] * 2 + [128] * 1
+    )
+    rng.shuffle(sizes)
+    g0, gb, keys = [], [0], []
+    for n in sizes:
+        g0.append(gb[-1])
+        gb.append(gb[-1] + n)
+        keys.extend(int(k) for k in rng.integers(0, 9, size=n))
+    rank = np.array(keys, np.int64)
+    out = _heap_perm_segments(rank, np.array(g0), np.array(gb))
+    for k, n in enumerate(sizes):
+        s0, s1 = g0[k], gb[k + 1]
+        ref = [s0 + q for q in binary_heap_perm(keys[s0:s1])]
+        assert out[s0:s1].tolist() == ref, f"segment {k} (size {n})"
+
+
+def test_lazy_entries_pickle_and_eq():
+    """_LazyEntries pickles to the canonical plain list (the distributed
+    all-gather transport) and compares equal to it in both directions."""
+    import pickle
+
+    from needle_tpu.search.jax_impl import _LazyEntries
+
+    cols = (
+        np.array([5, 3], np.int64),                      # L
+        np.array([100, 200], np.int64),                  # ss
+        np.array([900, 800], np.int64),                  # se
+        np.array([150, 250], np.int64),                  # ds
+        np.array([950, 850], np.int64),                  # de
+        np.array([7, 9], np.uint64),                     # ssim
+        np.array([8, 10], np.uint64),                    # dsim
+        np.array([800, 600], np.int64),                  # sdur
+        np.array([800, 600], np.int64),                  # ddur
+    )
+    hd = Duration.from_nanos(123)
+    le = _LazyEntries(cols, 0, 2, hd, hd, True)
+    assert len(le) == 2 and le._mat is None
+    via_pickle = pickle.loads(pickle.dumps(le))
+    assert isinstance(via_pickle, list)
+    assert via_pickle == le.materialize()
+    assert le == via_pickle and via_pickle == le
+    s, d = le.vote_cols(True)
+    assert s.tolist() == [7, 9] and d.tolist() == [800, 600]
+    (a, b), h = le.entry_run_hd(1, False)
+    assert (a.total_nanos(), b.total_nanos(), h) == (250, 850, hd)
+
+
+def test_find_best_match_lazy_equals_materialized():
+    """find_best_match over array-backed (_LazyEntries) infos must return
+    exactly the result of the same infos as plain RunEntry lists — and must
+    not materialize any entry while doing so."""
+    from needle_tpu.comparator import Comparator, OpeningAndEndingInfo
+    from needle_tpu.search.jax_impl import JaxSearchEngine, _EpisodeSide
+
+    rng = np.random.default_rng(11)
+    n_eps, n_pad = 5, 256
+    sides = []
+    for _ in range(n_eps):
+        n = int(rng.integers(150, 250))
+        hashes = rng.integers(0, 2**10, size=n, dtype=np.uint32) << 4
+        ts = np.cumsum(rng.integers(80, 160, size=n)).astype(np.int64) * int(1e6)
+        sides.append(_EpisodeSide(hashes, ts))
+    hash_durations = [Duration.from_nanos(int(1.238e8))] * n_eps
+    pairs = [(a, b) for a in range(n_eps) for b in range(a + 1, n_eps)]
+    work = [(p, a, b) for p, (a, b) in enumerate(pairs)]
+    w_pidx = np.array([w[0] for w in work], np.int64)
+    w_sa = np.array([w[1] for w in work], np.int32)
+    w_sb = np.array([w[2] for w in work], np.int32)
+    a_arr = w_sa.astype(np.int64)
+    b_arr = w_sb.astype(np.int64)
+    cands = []
+    for row, (p_idx, a, b) in enumerate(work):
+        for _ in range(int(rng.integers(1, 8))):
+            L = int(rng.integers(10, 120))
+            i = int(rng.integers(L, len(sides[a].hashes)))
+            j = int(rng.integers(L, len(sides[b].hashes)))
+            cands.append((row, i, j, L))
+    cand_row = np.array([c[0] for c in cands], np.int64)
+    cand_i = np.array([c[1] for c in cands], np.int64)
+    cand_j = np.array([c[2] for c in cands], np.int64)
+    cand_L = np.array([c[3] for c in cands], np.int64)
+
+    eng = JaxSearchEngine.__new__(JaxSearchEngine)
+    results = {p: [] for p, _, _ in work}
+    eng._entries_batch(
+        results, cand_row, cand_i, cand_j, cand_L,
+        w_pidx, w_sa, w_sb, a_arr, b_arr, list(range(n_eps)), sides,
+        hash_durations, True, int(1e9), n_pad, n_eps,
+    )
+
+    comp = Comparator([f"v{i}" for i in range(n_eps)])
+    comp.time_padding = Duration.from_nanos(int(5e8))
+    lazy_infos = [
+        OpeningAndEndingInfo(results[p], results[p], [], [])
+        for p, _, _ in work
+    ]
+    mat_infos = [
+        OpeningAndEndingInfo(list(results[p]) if results[p] else [], [], [], [])
+        for p, _, _ in work
+    ]
+    # materializing for mat_infos fills _mat caches; rebuild fresh lazy
+    # objects so the no-materialization assertion below is meaningful
+    results2 = {p: [] for p, _, _ in work}
+    eng._entries_batch(
+        results2, cand_row, cand_i, cand_j, cand_L,
+        w_pidx, w_sa, w_sb, a_arr, b_arr, list(range(n_eps)), sides,
+        hash_durations, True, int(1e9), n_pad, n_eps,
+    )
+    lazy_infos = [
+        OpeningAndEndingInfo(results2[p], results2[p], [], [])
+        for p, _, _ in work
+    ]
+    mat_infos = [
+        OpeningAndEndingInfo(
+            list(results[p]), list(results[p]), [], []
+        )
+        for p, _, _ in work
+    ]
+    for idx in range(n_eps):
+        lazy_m, mat_m = [], []
+        for (a, b), li, mi in zip(pairs, lazy_infos, mat_infos):
+            if a == idx:
+                lazy_m.append((li, True))
+                mat_m.append((mi, True))
+            elif b == idx:
+                lazy_m.append((li, False))
+                mat_m.append((mi, False))
+        r_lazy = comp.find_best_match(lazy_m)
+        r_mat = comp.find_best_match(mat_m)
+        assert r_lazy.opening == r_mat.opening
+        assert r_lazy.ending == r_mat.ending
+    assert all(
+        results2[p]._mat is None for p, _, _ in work if len(results2[p])
+    ), "voting materialized entries"
