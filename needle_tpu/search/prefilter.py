@@ -281,8 +281,11 @@ def _tile_band_masks(
 def _dense_tile_plan(sa, sb, e_pad):
     """Tile assignment for the episode-factorized path. Tiles of the
     episode-slot axis may OVERLAP at the tail (starts are clamped to
-    e_pad - tile), so the slot->tile mapping below must stay the single
-    source of truth for both dispatch and host assembly."""
+    e_pad - tile), so this plan is the single source of truth for both
+    dispatch and host assembly: it returns, per needed tile, the clamped
+    origins plus the work-row permutation (`order`) and tile boundaries
+    (`bounds`, len(uniq)+1 entries) that map work rows to tiles —
+    consumers must not re-derive any of these."""
     ta_sz = int(os.environ.get("NEEDLE_TPU_PREFILTER_TA", "16"))
     tb_sz = int(os.environ.get("NEEDLE_TPU_PREFILTER_TB", "128"))
     ta_sz = max(1, min(ta_sz, e_pad))
@@ -293,35 +296,34 @@ def _dense_tile_plan(sa, sb, e_pad):
     tib = np.minimum(sb // tb_sz, ntb - 1)
     key = tia.astype(np.int64) * ntb + tib
     uniq = np.unique(key)
-    return ta_sz, tb_sz, ntb, key, uniq
+    order = np.argsort(key, kind="stable")
+    bounds = np.append(np.searchsorted(key[order], uniq), len(order))
+    origins = []
+    for k in uniq:
+        ti, tj = divmod(int(k), ntb)
+        origins.append(
+            (min(ti * ta_sz, e_pad - ta_sz), min(tj * tb_sz, e_pad - tb_sz))
+        )
+    return ta_sz, tb_sz, uniq, order, bounds, origins
 
 
 def _band_masks_dense(
-    exp, sa, sb, w, threshold, n_pad, gd, n_groups, n_blocks, e_pad, plan
+    exp, sa, sb, w, threshold, n_pad, gd, n_groups, n_blocks, plan
 ):
     """Dispatch the needed episode-tile rectangles and assemble the
     per-work-pair masks on host (one coalesced device_get)."""
-    ta_sz, tb_sz, ntb, key, uniq = plan
-    order = np.argsort(key, kind="stable")
-    bounds = np.searchsorted(key[order], uniq)
-    outs = []
-    spans = []
-    for i, k in enumerate(uniq):
-        ti, tj = divmod(int(k), ntb)
-        a0 = min(ti * ta_sz, e_pad - ta_sz)
-        b0 = min(tj * tb_sz, e_pad - tb_sz)
-        outs.append(
-            _tile_band_masks(
-                exp, np.int32(a0), np.int32(b0), w, threshold, n_pad,
-                gd, n_groups, n_blocks, ta_sz, tb_sz,
-            )
+    ta_sz, tb_sz, uniq, order, bounds, origins = plan
+    outs = [
+        _tile_band_masks(
+            exp, np.int32(a0), np.int32(b0), w, threshold, n_pad,
+            gd, n_groups, n_blocks, ta_sz, tb_sz,
         )
-        s1 = bounds[i + 1] if i + 1 < len(uniq) else len(order)
-        spans.append((a0, b0, bounds[i], s1))
+        for a0, b0 in origins
+    ]
     outs = jax.device_get(outs)
     masks = np.empty((len(sa), n_groups), np.int32)
-    for out, (a0, b0, s0, s1) in zip(outs, spans):
-        idx = order[s0:s1]
+    for t, (out, (a0, b0)) in enumerate(zip(outs, origins)):
+        idx = order[bounds[t] : bounds[t + 1]]
         masks[idx] = out[sa[idx] - a0, sb[idx] - b0]
     return masks
 
@@ -437,7 +439,7 @@ def direct_diag_items(
     sa = np.fromiter((ep_slot[a] for _, a, _ in work), np.int32, len(work))
     sb = np.fromiter((ep_slot[b] for _, _, b in work), np.int32, len(work))
     plan = _dense_tile_plan(sa, sb, e_pad)
-    ta_sz, tb_sz, ntb, key, uniq = plan
+    ta_sz, tb_sz, uniq, order, bounds, origins = plan
     cells = len(uniq) * ta_sz * tb_sz
     if mode != "on" and cells > 4 * len(work):
         return None
@@ -457,18 +459,10 @@ def direct_diag_items(
     # 280 tiles (measured r5, 3-trial warm run); the stacked upload (~half
     # a MB) pipelines as one transfer and the per-dispatch mask becomes a
     # device-side slice.
-    order = np.argsort(key, kind="stable")
-    bounds = np.searchsorted(key[order], uniq)
     mask_all = np.zeros((len(uniq), ta_sz, tb_sz), bool)
-    origins = []
-    for t, k in enumerate(uniq):
-        ti, tj = divmod(int(k), ntb)
-        a0 = min(ti * ta_sz, e_pad - ta_sz)
-        b0 = min(tj * tb_sz, e_pad - tb_sz)
-        s1 = bounds[t + 1] if t + 1 < len(uniq) else len(order)
-        sel = order[bounds[t] : s1]
+    for t, (a0, b0) in enumerate(origins):
+        sel = order[bounds[t] : bounds[t + 1]]
         mask_all[t, sa[sel] - a0, sb[sel] - b0] = True
-        origins.append((a0, b0))
     mask_all_d = jax.device_put(mask_all)
 
     def dispatch(t, cap):
@@ -565,14 +559,13 @@ def prefilter_band_masks(
     plan = None
     if dense_mode != "off":
         plan = _dense_tile_plan(sa, sb, e_pad)
-        ta_sz, tb_sz, _, _, uniq = plan
+        ta_sz, tb_sz, uniq = plan[0], plan[1], plan[2]
         cells = len(uniq) * ta_sz * tb_sz
         if dense_mode != "on" and cells > 4 * len(work):
             plan = None
     if plan is not None:
         masks = _band_masks_dense(
-            exp, sa, sb, w, threshold, n_pad, gd, n_groups, n_blocks,
-            e_pad, plan,
+            exp, sa, sb, w, threshold, n_pad, gd, n_groups, n_blocks, plan
         )
     else:
         # bounds the (chunk, n_pad, 32) bf16 gathers to ~42 MB; env knob

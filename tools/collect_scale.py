@@ -26,6 +26,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _log_ref(log_path: Path) -> str:
+    """Repo-relative when the log lives under the repo, absolute otherwise
+    (--runs-dir may point at logs rescued off-repo, e.g. /tmp)."""
+    try:
+        return str(log_path.relative_to(REPO))
+    except ValueError:
+        return str(log_path)
+
+
 def headline_of(log_path: Path) -> dict | None:
     """Last JSON line carrying a numeric `value` — bench.py guarantees
     the compact headline is the final line of a completed run; partial
@@ -87,7 +96,7 @@ def collect(runs_dir: Path, configs: list[str]) -> dict:
         entry["runs"].append(
             {
                 "value": head["value"],
-                "log": str(log_path.relative_to(REPO)),
+                "log": _log_ref(log_path),
                 "log_mtime": time.strftime(
                     "%Y-%m-%d %H:%M:%S",
                     time.localtime(log_path.stat().st_mtime),
@@ -97,7 +106,7 @@ def collect(runs_dir: Path, configs: list[str]) -> dict:
         if entry["best"] is None or head["value"] < entry["best"]["headline"]["value"]:
             entry["best"] = {
                 "headline": head,
-                "log": str(log_path.relative_to(REPO)),
+                "log": _log_ref(log_path),
             }
             detail = detail_of(log_path)
             if detail is not None:
