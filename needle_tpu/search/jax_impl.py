@@ -319,9 +319,16 @@ def _batch_extract_candidates(
         hd_s = jax.lax.dynamic_slice(tpad, (ib, n_pad + off), (1, n_pad))[0]
         valid = (idx >= 1) & (idx < nv) & (j >= 1) & (j < mv)
         S = (_popcount_u32_jnp(hs ^ hd_s) <= threshold) & valid
-        c = jnp.cumsum(S.astype(jnp.int32))
-        z = jnp.where(S, 0, c)
-        run = c - jax.lax.cummax(z)
+        # Run length via ONE scan instead of two (cumsum + cummax of the
+        # zeroed prefix): cummax over run-START positions gives, at every
+        # cell, the start of the current run — run = idx - start + 1.
+        # idx >= 1 wherever S holds (valid forces idx >= 1), so S[0] is
+        # always False and the shifted start detection is safe.
+        S_prev = jnp.concatenate([jnp.zeros(1, bool), S[:-1]])
+        latest_start = jax.lax.cummax(
+            jnp.where(S & ~S_prev, idx, jnp.int32(-1))
+        )
+        run = jnp.where(S, idx - latest_start + 1, 0)
         S_next = jnp.concatenate([S[1:], jnp.zeros(1, bool)])
         ends = S & ~S_next & (run >= jnp.maximum(lm, 1))
         score = jnp.where(ends, idx + 1, 0)
@@ -1227,10 +1234,18 @@ class JaxSearchEngine:
                         ),
                     )
                 )
-            for rows_blk, offs_blk, (end_i_d, runs_d, counts_d) in launched:
-                end_i = np.asarray(end_i_d)[: len(rows_blk)]
-                runs = np.asarray(runs_d)[: len(rows_blk)]
-                counts = np.asarray(counts_d)[: len(rows_blk)]
+            # ONE coalesced device_get for every chunk's triple: per-chunk
+            # np.asarray paid ~366 synchronous tunnel roundtrips here
+            # (3 arrays x 122 chunks at the dense-1000 shape) — the same
+            # lesson as the r4 prefilter-mask downloads; the kernel itself
+            # is ~2.4 s of the 15 s stage (interleaved r5 probe).
+            got = jax.device_get([t[2] for t in launched])
+            for (rows_blk, offs_blk, _), (end_i, runs, counts) in zip(
+                launched, got
+            ):
+                end_i = end_i[: len(rows_blk)]
+                runs = runs[: len(rows_blk)]
+                counts = counts[: len(rows_blk)]
                 # pathological diagonals (count > K): exact host extraction
                 for r in np.flatnonzero(counts > K_CANDS):
                     host_diag(int(rows_blk[r]), int(offs_blk[r]))
