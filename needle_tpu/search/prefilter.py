@@ -450,8 +450,18 @@ def direct_diag_items(
     wkey = sa.astype(np.int64) * e_pad + sb
     worder = np.argsort(wkey, kind="stable")
     wkey_sorted = wkey[worder]
-    cap0 = int(os.environ.get("NEEDLE_TPU_DIRECT_CAP", "0")) or (
-        8 * ta_sz * tb_sz
+    # Initial flag-word cap: 2 words per work cell of the DENSEST tile,
+    # pow2-bucketed. The cap sizes the (widx, wvals) download per tile —
+    # at the old 8*ta*tb default that was ~66 MB of mostly -1 filler for
+    # the dense-1000 shape on a ~13 MB/s d2h era (~5 s of the prefilter
+    # stage); 2x the densest tile's cell count keeps re-dispatches rare
+    # (~1 flagged diagonal-word per cell typical; overflow re-dispatches
+    # pathological tiles at the next pow2 anyway). Same-era A/B: wall
+    # 16.4 -> 13.5 s, prefilter stage 5.2 -> 3.7 s.
+    seg_max = int(np.max(np.diff(bounds))) if len(uniq) else 1
+    cap0 = int(os.environ.get("NEEDLE_TPU_DIRECT_CAP", "0")) or min(
+        max(1024, 1 << (max(1, 2 * seg_max) - 1).bit_length()),
+        8 * ta_sz * tb_sz,
     )
     # Work-membership masks for ALL tiles built host-side and uploaded in
     # ONE device_put: separate per-tile transfers paid ~0.1 s fixed each
