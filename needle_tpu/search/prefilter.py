@@ -412,6 +412,16 @@ def _tile_diag_flags(exp_tab, a0, b0, mask, w, threshold, n_pad, ta, tb, cap):
     return widx.astype(jnp.int32), wvals, total
 
 
+def _initial_cap(seg_max: int, ta_sz: int, tb_sz: int) -> int:
+    """Initial flag-word cap for `_tile_diag_flags`: 2 words per work
+    cell of the densest tile, pow2-bucketed, floor 1024, clamped to the
+    tile-area bound (8 * ta * tb, the pre-r5 default)."""
+    return min(
+        max(1024, 1 << (max(1, 2 * seg_max) - 1).bit_length()),
+        8 * ta_sz * tb_sz,
+    )
+
+
 def direct_diag_items(
     table_d, vtab_d, work, ep_slot, lm_of, threshold, n_pad
 ):
@@ -459,9 +469,8 @@ def direct_diag_items(
     # pathological tiles at the next pow2 anyway). Same-era A/B: wall
     # 16.4 -> 13.5 s, prefilter stage 5.2 -> 3.7 s.
     seg_max = int(np.max(np.diff(bounds))) if len(uniq) else 1
-    cap0 = int(os.environ.get("NEEDLE_TPU_DIRECT_CAP", "0")) or min(
-        max(1024, 1 << (max(1, 2 * seg_max) - 1).bit_length()),
-        8 * ta_sz * tb_sz,
+    cap0 = int(os.environ.get("NEEDLE_TPU_DIRECT_CAP", "0")) or _initial_cap(
+        seg_max, ta_sz, tb_sz
     )
     # Work-membership masks for ALL tiles built host-side and uploaded in
     # ONE device_put: separate per-tile transfers paid ~0.1 s fixed each

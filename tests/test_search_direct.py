@@ -189,3 +189,42 @@ def test_direct_overflow_redispatch(rng, monkeypatch):
     # certainly more than the 64-entry cap
     assert len(rows) > 64
     assert 0 in offs and (rows == 0).all()
+
+
+def test_dense_tile_plan_contract(rng):
+    """The plan is the single source of truth for tile assembly: bounds
+    has len(uniq)+1 entries, every work row lands in exactly one tile
+    segment, and each row's slots fall inside its tile's clamped origin
+    window (including overlapping tail tiles)."""
+    e_pad = 100  # not a multiple of either tile size: tail tiles clamp
+    n = 5000
+    sa = rng.integers(0, e_pad, n).astype(np.int32)
+    sb = rng.integers(0, e_pad, n).astype(np.int32)
+    ta_sz, tb_sz, uniq, order, bounds, origins = pf._dense_tile_plan(
+        sa, sb, e_pad
+    )
+    assert len(bounds) == len(uniq) + 1
+    assert len(origins) == len(uniq)
+    assert bounds[0] == 0 and bounds[-1] == n
+    seen = np.concatenate(
+        [order[bounds[t] : bounds[t + 1]] for t in range(len(uniq))]
+    )
+    assert sorted(seen.tolist()) == list(range(n))
+    for t, (a0, b0) in enumerate(origins):
+        idx = order[bounds[t] : bounds[t + 1]]
+        assert a0 >= 0 and b0 >= 0
+        assert a0 + ta_sz <= e_pad and b0 + tb_sz <= e_pad
+        assert np.all((sa[idx] - a0 >= 0) & (sa[idx] - a0 < ta_sz))
+        assert np.all((sb[idx] - b0 >= 0) & (sb[idx] - b0 < tb_sz))
+
+
+def test_initial_cap_derivation():
+    """2 words per densest-tile cell, pow2-bucketed, floored and clamped."""
+    # floor
+    assert pf._initial_cap(1, 16, 128) == 1024
+    assert pf._initial_cap(500, 16, 128) == 1024
+    # pow2 ceiling of 2*seg_max
+    assert pf._initial_cap(2048, 16, 128) == 4096
+    assert pf._initial_cap(2049, 16, 128) == 8192
+    # clamp at the tile-area bound
+    assert pf._initial_cap(10**9, 16, 128) == 8 * 16 * 128
